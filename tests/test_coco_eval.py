@@ -1,0 +1,110 @@
+"""COCO evaluator tests with hand-computable AP values."""
+import numpy as np
+
+from zutis_tpu.engine.coco_eval import COCOEvaluator
+from zutis_tpu.ops import rle
+
+
+def block_mask(h, w, y0, y1, x0, x1):
+    m = np.zeros((h, w), np.uint8)
+    m[y0:y1, x0:x1] = 1
+    return m
+
+
+def make_gt(ann_masks, h=32, w=32):
+    images, annotations = [], []
+    ann_id = 1
+    for img_id, masks in ann_masks.items():
+        images.append({"id": img_id, "height": h, "width": w})
+        for m, cat in masks:
+            annotations.append({
+                "id": ann_id, "image_id": img_id, "category_id": cat,
+                "segmentation": rle.encode(m), "area": int(m.sum()),
+                "iscrowd": 0, "bbox": rle.to_bbox(m),
+            })
+            ann_id += 1
+    return {
+        "images": images,
+        "annotations": annotations,
+        "categories": [{"id": 1, "name": "thing"}],
+    }
+
+
+def pred(img_id, m, score, cat=1):
+    return {"image_id": img_id, "category_id": cat,
+            "segmentation": rle.encode(m), "score": score}
+
+
+def test_perfect_prediction_ap_1():
+    g = block_mask(32, 32, 4, 14, 4, 14)
+    gt = make_gt({1: [(g, 1)]})
+    ev = COCOEvaluator(gt)
+    stats = ev.evaluate([pred(1, g, 0.9)])
+    assert stats["AP"] == 1.0
+    assert stats["AP50"] == 1.0
+    assert stats["AP75"] == 1.0
+
+
+def test_partial_iou_matches_low_thresholds_only():
+    # gt: 20px; dt overlaps 15px, union 25 -> IoU = 0.6
+    g = block_mask(32, 32, 0, 4, 0, 5)       # 4x5 = 20
+    d = block_mask(32, 32, 0, 4, 0, 5).copy()
+    d[0, 0:5] = 0                             # drop 5 -> inter 15
+    d[4, 0:5] = 1                             # add 5 -> area 20, union 25
+    assert rle.mask_iou(d[None], g[None])[0, 0] == 15 / 25
+    gt = make_gt({1: [(g, 1)]})
+    stats = COCOEvaluator(gt).evaluate([pred(1, d, 0.9)])
+    # matched at thresholds 0.50, 0.55, 0.60 -> AP = 3/10
+    np.testing.assert_allclose(stats["AP"], 0.3, atol=1e-6)
+    assert stats["AP50"] == 1.0
+    assert stats["AP75"] == 0.0
+
+
+def test_false_positive_halves_nothing_when_lower_ranked():
+    g = block_mask(32, 32, 4, 14, 4, 14)
+    fp = block_mask(32, 32, 20, 30, 20, 30)
+    gt = make_gt({1: [(g, 1)]})
+    stats = COCOEvaluator(gt).evaluate(
+        [pred(1, g, 0.9), pred(1, fp, 0.5)])
+    # TP ranks first: precision at every recall point stays 1
+    assert stats["AP"] == 1.0
+
+
+def test_missed_gt_reduces_recall():
+    g1 = block_mask(32, 32, 0, 10, 0, 10)
+    g2 = block_mask(32, 32, 20, 30, 20, 30)
+    gt = make_gt({1: [(g1, 1), (g2, 1)]})
+    stats = COCOEvaluator(gt).evaluate([pred(1, g1, 0.9)])
+    # recall caps at 0.5 -> precision 1 up to r=0.5, 0 beyond: AP ~ 51/101
+    np.testing.assert_allclose(stats["AP"], 51 / 101, atol=1e-6)
+
+
+def test_max_dets_cap():
+    h = w = 32
+    gts, dts = [], []
+    for i in range(3):
+        m = block_mask(h, w, 10 * i, 10 * i + 8, 0, 8)
+        gts.append((m, 1))
+        dts.append(pred(1, m, 0.9 - 0.1 * i))
+    gt = make_gt({1: gts})
+    ev = COCOEvaluator(gt, max_dets=(1, 2, 3))
+    stats = ev.evaluate(dts)
+    np.testing.assert_allclose(stats["AR_maxDets_1"], 1 / 3, atol=1e-6)
+    np.testing.assert_allclose(stats["AR_maxDets_2"], 2 / 3, atol=1e-6)
+    assert stats["AR_maxDets_3"] == 1.0
+
+
+def test_crowd_gt_not_counted_and_absorbs_matches():
+    g = block_mask(32, 32, 0, 10, 0, 10)
+    crowd = block_mask(32, 32, 20, 32, 20, 32)
+    gt = make_gt({1: [(g, 1)]})
+    gt["annotations"].append({
+        "id": 99, "image_id": 1, "category_id": 1,
+        "segmentation": rle.encode(crowd), "area": int(crowd.sum()),
+        "iscrowd": 1, "bbox": rle.to_bbox(crowd),
+    })
+    # dt inside the crowd region: ignored, not an FP
+    d_crowd = block_mask(32, 32, 22, 30, 22, 30)
+    stats = COCOEvaluator(gt).evaluate(
+        [pred(1, g, 0.9), pred(1, d_crowd, 0.8)])
+    assert stats["AP"] == 1.0

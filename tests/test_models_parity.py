@@ -1,0 +1,140 @@
+"""Numerical parity of zutis_tpu models vs torch oracles on random weights."""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from zutis_tpu.models.decoder import QueryDecoder
+from zutis_tpu.models.pos_embed import sine_pos_embed
+from zutis_tpu.models.vit import CLIPViT
+from zutis_tpu.models import weights as W
+
+from torch_oracle import (
+    TorchCLIPViT, TorchQueryDecoder, torch_sine_pos_embed,
+)
+
+TOL = dict(rtol=2e-4, atol=2e-5)
+
+
+def test_sine_pos_embed_matches_reference():
+    for h, w, npf in [(7, 9, 64), (24, 24, 384)]:
+        want = torch_sine_pos_embed(h, w, npf).numpy()[0]
+        got = sine_pos_embed(h, w, npf)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("hw", [(224, 224), (192, 256)])
+def test_clip_vit_matches_torch(hw):
+    torch.manual_seed(0)
+    oracle = TorchCLIPViT(width=64, layers=2, heads=4, patch=16, out_dim=32)
+    oracle.eval()
+
+    sd = {f"visual.{k}": v for k, v in oracle.state_dict().items()}
+    # oracle names resblocks directly; reference nests under transformer.
+    sd = {k.replace("visual.resblocks", "visual.transformer.resblocks"): v
+          for k, v in sd.items()}
+    params = W.convert_clip_visual(sd)
+
+    model = CLIPViT(width=64, layers=2, heads=4, patch_size=16, output_dim=32)
+    x = np.random.RandomState(0).randn(2, 3, *hw).astype(np.float32)
+
+    with torch.no_grad():
+        want, h, w = oracle(torch.from_numpy(x))
+    got, gh, gw = model.apply({"params": params}, jnp.asarray(x))
+    assert (gh, gw) == (h, w)
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), **TOL)
+
+
+def test_query_decoder_matches_torch():
+    torch.manual_seed(1)
+    d, heads, L, Q, S, B = 64, 4, 3, 10, 36, 2
+    oracle = TorchQueryDecoder(d, heads, L, ff=128)
+    oracle.eval()
+
+    sd = {}
+    for k, v in oracle.state_dict().items():
+        sd["decoder." + k] = v
+    params = W.convert_zutis({
+        **sd,
+        # minimal fillers so convert_zutis finds all sections
+        **{f"ffn{i}.layers.{j}.{p}": torch.zeros(2, 2) if p == "weight"
+           else torch.zeros(2)
+           for i in (1, 2) for j in range(3) for p in ("weight", "bias")},
+        "query_embed": torch.zeros(Q, d),
+        "encoder.conv1.weight": torch.zeros(8, 3, 4, 4),
+        "encoder.class_embedding": torch.zeros(8),
+        "encoder.positional_embedding": torch.zeros(5, 8),
+        "encoder.proj": torch.zeros(8, 4),
+        "encoder.ln_pre.weight": torch.ones(8),
+        "encoder.ln_pre.bias": torch.zeros(8),
+        "encoder.ln_post.weight": torch.ones(8),
+        "encoder.ln_post.bias": torch.zeros(8),
+    })["decoder"]
+
+    rng = np.random.RandomState(2)
+    memory = rng.randn(B, S, d).astype(np.float32)
+    pos = rng.randn(B, S, d).astype(np.float32)
+    query_pos = rng.randn(B, Q, d).astype(np.float32)
+    tgt = np.zeros((B, Q, d), np.float32)
+
+    def t(x):  # batch-first -> seq-first
+        return torch.from_numpy(x.transpose(1, 0, 2))
+
+    with torch.no_grad():
+        want = oracle(t(tgt), t(memory), t(pos), t(query_pos)).numpy()
+    want = want.transpose(0, 2, 1, 3)  # [L, s, b, d] -> [L, b, q, d]
+
+    model = QueryDecoder(d_model=d, heads=heads, num_layers=L,
+                         dim_feedforward=128)
+    got = model.apply({"params": params}, jnp.asarray(tgt), jnp.asarray(memory),
+                      jnp.asarray(pos), jnp.asarray(query_pos))
+    # post-LayerNorm outputs are O(1): absolute tolerance absorbs fp32
+    # accumulation-order differences across 3 decoder layers
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=5e-4)
+
+
+def test_encode_image_pooled_path():
+    torch.manual_seed(3)
+    oracle = TorchCLIPViT(width=64, layers=2, heads=4, patch=16, out_dim=32)
+    oracle.eval()
+    sd = {f"visual.{k}".replace("visual.resblocks",
+                                "visual.transformer.resblocks"): v
+          for k, v in oracle.state_dict().items()}
+    params = W.convert_clip_visual(sd)
+    model = CLIPViT(width=64, layers=2, heads=4, patch_size=16, output_dim=32)
+    x = np.random.RandomState(4).randn(1, 3, 224, 224).astype(np.float32)
+
+    # torch pooled: ln_post(CLS) @ proj computed through the oracle internals
+    with torch.no_grad():
+        xt = torch.from_numpy(x)
+        feat = oracle.conv1(xt).flatten(2).permute(0, 2, 1)
+        cls = oracle.class_embedding[None, None].expand(1, 1, -1)
+        toks = torch.cat([cls, feat], 1) + oracle.interp_pos(
+            oracle.positional_embedding, (14, 14))[None]
+        toks = oracle.ln_pre(toks).permute(1, 0, 2)
+        for blk in oracle.resblocks:
+            toks = blk(toks)
+        want = (oracle.ln_post(toks.permute(1, 0, 2)[:, 0]) @ oracle.proj).numpy()
+
+    got = model.apply({"params": params}, jnp.asarray(x),
+                      method=CLIPViT.encode_image)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-4)
+
+
+def test_weight_export_roundtrip():
+    model = CLIPViT(width=32, layers=1, heads=2, patch_size=16, output_dim=16)
+    x = jnp.zeros((1, 3, 32, 32))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    from zutis_tpu.models.zutis import ZUTIS
+    z = ZUTIS(width=32, encoder_layers=1, encoder_heads=2, patch_size=16,
+              text_dim=16, n_queries=5, n_decoder_layers=2, n_heads=2)
+    zp = z.init(jax.random.PRNGKey(0), x)["params"]
+    sd = W.export_zutis(zp)
+    back = W.convert_zutis(sd)
+    flat_a = jax.tree_util.tree_leaves(zp)
+    flat_b = jax.tree_util.tree_leaves(back)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)

@@ -1,0 +1,80 @@
+"""NMS parity vs a direct transcription of the reference's greedy loop, plus
+metrics tests."""
+import numpy as np
+
+import jax.numpy as jnp
+
+from zutis_tpu.engine.metrics import RunningScore, compute_iou
+from zutis_tpu.ops.nms import mask_nms
+
+
+def reference_nms(masks, scores, cats, thr=0.3, floor=0.001):
+    """Host re-implementation of the reference hard-NMS semantics
+    (networks/zutis.py:230-299) returning the kept (mask_idx) set."""
+    kept = []
+    for c in sorted(set(cats.tolist())):
+        if c == 0:
+            continue
+        idx = np.flatnonzero(cats == c)
+        cand = list(idx)
+        cand_scores = {i: scores[i] for i in cand}
+        while cand:
+            best = max(cand, key=lambda i: cand_scores[i])
+            kept.append(best)
+            new_cand = []
+            for i in cand:
+                if i == best:
+                    continue
+                iou = compute_iou(masks[i], masks[best], threshold=None)
+                w = 0.0 if iou > thr else 1.0
+                s = cand_scores[i] * w
+                if s > floor:
+                    new_cand.append(i)
+                    cand_scores[i] = s
+            cand = new_cand
+    return sorted(i for i in kept if masks[i].sum() > 0)
+
+
+def test_hard_nms_matches_reference():
+    rng = np.random.RandomState(0)
+    q, h, w = 20, 16, 16
+    for trial in range(5):
+        masks = np.zeros((q, h, w), bool)
+        for i in range(q):
+            y, x = rng.randint(0, h - 6), rng.randint(0, w - 6)
+            sz = rng.randint(3, 8)
+            masks[i, y:y + sz, x:x + sz] = True
+        scores = rng.rand(q).astype(np.float32)
+        cats = rng.randint(0, 4, q)
+
+        want = reference_nms(masks, scores, cats)
+        keep, out_scores = mask_nms(
+            jnp.asarray(masks), jnp.asarray(scores), jnp.asarray(cats)
+        )
+        got = sorted(np.flatnonzero(np.asarray(keep)).tolist())
+        assert got == want, f"trial {trial}: {got} != {want}"
+        # kept scores unchanged under hard NMS
+        for i in got:
+            np.testing.assert_allclose(np.asarray(out_scores)[i], scores[i])
+
+
+def test_running_score_matches_manual():
+    rs = RunningScore(3)
+    gt = np.array([[0, 1, 2, 1], [255, 0, 1, 2]])
+    pred = np.array([[0, 1, 1, 1], [2, 0, 1, 0]])
+    rs.update(gt, pred)
+    # manual confusion (ignore 255): rows gt, cols pred
+    want = np.zeros((3, 3))
+    for g, p in zip(gt.ravel(), pred.ravel()):
+        if 0 <= g < 3:
+            want[g, p] += 1
+    np.testing.assert_array_equal(rs.confusion_matrix, want)
+    scores, cls_iu = rs.get_scores()
+    acc = np.diag(want).sum() / want.sum()
+    np.testing.assert_allclose(scores["Pixel Acc"], acc)
+
+
+def test_compute_iou():
+    a = np.zeros((4, 4)); a[:2] = 1
+    b = np.zeros((4, 4)); b[1:3] = 1
+    np.testing.assert_allclose(compute_iou(a, b, threshold=None), 4 / 12)

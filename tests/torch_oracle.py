@@ -1,0 +1,128 @@
+"""Minimal torch oracle models reproducing the reference's numerics for parity
+tests (reference semantics per SURVEY.md sections 2-3). These are test-only —
+the framework itself has no torch dependency on the compute path."""
+from __future__ import annotations
+
+import math
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+class TorchResBlock(nn.Module):
+    """Pre-LN residual attention block with QuickGELU MLP (CLIP ViT block)."""
+
+    def __init__(self, d: int, heads: int):
+        super().__init__()
+        self.attn = nn.MultiheadAttention(d, heads)
+        self.ln_1 = nn.LayerNorm(d)
+        self.ln_2 = nn.LayerNorm(d)
+        self.mlp = nn.Sequential()
+        self.mlp.add_module("c_fc", nn.Linear(d, d * 4))
+        self.mlp.add_module("c_proj", nn.Linear(d * 4, d))
+
+    def forward(self, x, attn_mask=None):  # x: [s, b, d]
+        y = self.ln_1(x)
+        x = x + self.attn(y, y, y, need_weights=False, attn_mask=attn_mask)[0]
+        y = self.ln_2(x)
+        y = self.mlp.c_proj(self.mlp.c_fc(y) * torch.sigmoid(1.702 * self.mlp.c_fc(y)))
+        return x + y
+
+
+class TorchCLIPViT(nn.Module):
+    def __init__(self, width=64, layers=2, heads=4, patch=16, out_dim=32,
+                 resolution=224):
+        super().__init__()
+        self.patch = patch
+        self.conv1 = nn.Conv2d(3, width, patch, patch, bias=False)
+        scale = width ** -0.5
+        self.class_embedding = nn.Parameter(scale * torch.randn(width))
+        grid = resolution // patch
+        self.positional_embedding = nn.Parameter(
+            scale * torch.randn(grid * grid + 1, width))
+        self.ln_pre = nn.LayerNorm(width)
+        self.resblocks = nn.ModuleList(
+            [TorchResBlock(width, heads) for _ in range(layers)])
+        self.ln_post = nn.LayerNorm(width)
+        self.proj = nn.Parameter(scale * torch.randn(width, out_dim))
+
+    @staticmethod
+    def interp_pos(pe: torch.Tensor, size):
+        cls_pe, patch_pe = pe[:1], pe[1:]
+        hw, d = patch_pe.shape
+        g = int(math.sqrt(hw))
+        h, w = size[0] + 0.1, size[1] + 0.1
+        out = F.interpolate(
+            patch_pe.view(1, g, g, d).permute(0, 3, 1, 2),
+            scale_factor=(h / g, w / g), mode="bicubic",
+        )
+        out = out.permute(0, 2, 3, 1).view(-1, d)
+        return torch.cat([cls_pe, out], dim=0)
+
+    def forward(self, x):  # [b, 3, H, W]
+        x = self.conv1(x)
+        b, c, h, w = x.shape
+        tokens = x.flatten(2).permute(0, 2, 1)
+        cls = self.class_embedding[None, None].expand(b, 1, c)
+        tokens = torch.cat([cls, tokens], dim=1)
+        tokens = tokens + self.interp_pos(self.positional_embedding, (h, w))[None]
+        tokens = self.ln_pre(tokens)
+        tokens = tokens.permute(1, 0, 2)
+        for blk in self.resblocks:
+            tokens = blk(tokens)
+        tokens = tokens.permute(1, 0, 2)
+        return self.ln_post(tokens[:, 1:]), h, w
+
+
+class TorchDecoderLayer(nn.Module):
+    """DETR post-norm decoder layer."""
+
+    def __init__(self, d, heads, ff=2048):
+        super().__init__()
+        self.self_attn = nn.MultiheadAttention(d, heads)
+        self.multihead_attn = nn.MultiheadAttention(d, heads)
+        self.linear1 = nn.Linear(d, ff)
+        self.linear2 = nn.Linear(ff, d)
+        self.norm1 = nn.LayerNorm(d)
+        self.norm2 = nn.LayerNorm(d)
+        self.norm3 = nn.LayerNorm(d)
+
+    def forward(self, tgt, memory, pos, query_pos):  # all [s, b, d]
+        q = k = tgt + query_pos
+        tgt = self.norm1(tgt + self.self_attn(q, k, tgt, need_weights=False)[0])
+        tgt = self.norm2(tgt + self.multihead_attn(
+            tgt + query_pos, memory + pos, memory, need_weights=False)[0])
+        tgt = self.norm3(tgt + self.linear2(F.relu(self.linear1(tgt))))
+        return tgt
+
+
+class TorchQueryDecoder(nn.Module):
+    def __init__(self, d, heads, num_layers, ff=2048):
+        super().__init__()
+        self.layers = nn.ModuleList(
+            [TorchDecoderLayer(d, heads, ff) for _ in range(num_layers)])
+        self.norm = nn.LayerNorm(d)
+
+    def forward(self, tgt, memory, pos, query_pos):
+        outs = []
+        x = tgt
+        for layer in self.layers:
+            x = layer(x, memory, pos, query_pos)
+            outs.append(self.norm(x))
+        return torch.stack(outs)  # [L, s, b, d]
+
+
+def torch_sine_pos_embed(h, w, npf, temperature=10000.0):
+    """Reference PositionEmbeddingSine with normalize=True, no mask."""
+    ones = torch.ones(1, h, w)
+    y = ones.cumsum(1); x = ones.cumsum(2)
+    eps, scale = 1e-6, 2 * math.pi
+    y = y / (y[:, -1:, :] + eps) * scale
+    x = x / (x[:, :, -1:] + eps) * scale
+    dim_t = torch.arange(npf, dtype=torch.float32)
+    dim_t = temperature ** (2 * (dim_t // 2) / npf)
+    px, py = x[..., None] / dim_t, y[..., None] / dim_t
+    px = torch.stack((px[..., 0::2].sin(), px[..., 1::2].cos()), dim=4).flatten(3)
+    py = torch.stack((py[..., 0::2].sin(), py[..., 1::2].cos()), dim=4).flatten(3)
+    return torch.cat((py, px), dim=3).permute(0, 3, 1, 2)  # [1, 2npf, h, w]

@@ -1,0 +1,143 @@
+"""CLIP Vision Transformer encoder returning dense patch tokens.
+
+Behavioural contract (reference networks/clip_arch.py:335-411): patchify conv
+(no bias) -> prepend class token -> add bicubically-interpolated positional
+embedding (computed with the reference's `+0.1` scale-factor fudge,
+clip_arch.py:357-374) -> ln_pre -> `layers` pre-LN residual attention blocks
+with QuickGELU MLPs -> drop CLS -> ln_post over patch tokens. The text-space
+projection `proj` is a parameter of this module but NOT applied in
+`__call__`; ZUTIS applies it separately (networks/zutis.py:528-530).
+`encode_image` provides the original CLIP pooled embedding (CLS @ proj) used
+by the retrieval pipeline (reference utils/extract_image_embeddings.py).
+
+TPU-first notes: batch-first [b, s, d] layout throughout (no torch seq-first
+permutes); attention runs through ops/attention.py (swap-in Pallas flash
+kernel); pos-emb interpolation is an MXU matmul (ops/resize.py)."""
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from zutis_tpu.models.layers import LayerNorm32, MultiHeadAttention, quick_gelu
+from zutis_tpu.ops.resize import resize_2d
+
+
+class ResidualAttentionBlock(nn.Module):
+    width: int
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, bias=None) -> jnp.ndarray:
+        y = LayerNorm32(name="ln_1")(x)
+        x = x + MultiHeadAttention(
+            self.width, self.heads, dtype=self.dtype, attn_impl=self.attn_impl,
+            name="attn",
+        )(y, y, y, bias=bias)
+        y = LayerNorm32(name="ln_2")(x)
+        y = nn.Dense(self.width * 4, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="mlp_c_fc")(y)
+        y = quick_gelu(y)
+        y = nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="mlp_c_proj")(y)
+        return x + y
+
+
+def interpolate_pos_embed(
+    pos_embed: jnp.ndarray,  # [1 + g*g, width]
+    size: Tuple[int, int],
+) -> jnp.ndarray:
+    """Bicubic interpolation of the patch positional embedding to an arbitrary
+    (h, w) grid, exactly matching the reference (clip_arch.py:357-374): the
+    scale factor carries a +0.1 fudge that slightly shifts sample coordinates
+    under torch's scale_factor code path."""
+    h, w = size
+    cls_pe, patch_pe = pos_embed[:1], pos_embed[1:]
+    hw, n_dims = patch_pe.shape
+    g = int(math.sqrt(hw))
+    # No identity shortcut even at the native grid: the reference resamples
+    # unconditionally, and the +0.1 fudge makes that a non-identity map.
+    grid = patch_pe.reshape(g, g, n_dims).transpose(2, 0, 1)  # [d, g, g]
+    scale_h = (h + 0.1) / g
+    scale_w = (w + 0.1) / g
+    grid = resize_2d(grid, (h, w), mode="cubic",
+                     scales=(1.0 / scale_h, 1.0 / scale_w))
+    patch_pe = grid.transpose(1, 2, 0).reshape(h * w, n_dims)
+    return jnp.concatenate([cls_pe, patch_pe], axis=0)
+
+
+class CLIPViT(nn.Module):
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    patch_size: int = 16
+    output_dim: int = 512
+    input_resolution: int = 224  # grid the stored pos-emb was trained at
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    def setup(self):
+        scale = self.width ** -0.5
+        grid = self.input_resolution // self.patch_size
+        self.conv1 = nn.Conv(
+            self.width,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )
+        self.class_embedding = self.param(
+            "class_embedding", nn.initializers.normal(scale), (self.width,)
+        )
+        self.positional_embedding = self.param(
+            "positional_embedding", nn.initializers.normal(scale),
+            (grid * grid + 1, self.width),
+        )
+        self.ln_pre = LayerNorm32()
+        self.blocks = [
+            ResidualAttentionBlock(
+                self.width, self.heads, dtype=self.dtype,
+                attn_impl=self.attn_impl, name=f"resblocks_{i}",
+            )
+            for i in range(self.layers)
+        ]
+        self.ln_post = LayerNorm32()
+        self.proj = self.param(
+            "proj", nn.initializers.normal(scale), (self.width, self.output_dim)
+        )
+
+    def _forward_tokens(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, int, int]:
+        """x: [b, 3, H, W] -> (tokens incl. CLS [b, 1+hw, width], h, w)."""
+        b = x.shape[0]
+        x = x.transpose(0, 2, 3, 1)  # NCHW -> NHWC (TPU conv layout)
+        x = self.conv1(x.astype(self.dtype))
+        _, h_feat, w_feat, _ = x.shape
+        tokens = x.reshape(b, h_feat * w_feat, self.width)
+        cls_tok = jnp.broadcast_to(
+            self.class_embedding.astype(self.dtype)[None, None],
+            (b, 1, self.width),
+        )
+        tokens = jnp.concatenate([cls_tok, tokens], axis=1)
+        pe = interpolate_pos_embed(self.positional_embedding, (h_feat, w_feat))
+        tokens = tokens + pe.astype(self.dtype)[None]
+        tokens = self.ln_pre(tokens)
+        for block in self.blocks:
+            tokens = block(tokens)
+        return tokens, h_feat, w_feat
+
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, int, int]:
+        """Dense path: (patch_tokens [b, h*w, width] after ln_post, h, w)."""
+        tokens, h_feat, w_feat = self._forward_tokens(x)
+        patch_tokens = self.ln_post(tokens[:, 1:, :])
+        return patch_tokens, h_feat, w_feat
+
+    def encode_image(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Pooled path (original CLIP): ln_post(CLS) @ proj -> [b, output_dim]."""
+        tokens, _, _ = self._forward_tokens(x)
+        pooled = self.ln_post(tokens[:, :1, :])[:, 0]
+        return pooled @ self.proj.astype(self.dtype)

@@ -1,0 +1,206 @@
+"""Checkpoint import: OpenAI-CLIP / reference-ZUTIS torch state_dicts -> flax
+param trees for zutis_tpu models.
+
+The reference loads OpenAI CLIP weights through `clip.load` +
+`build_model(state_dict)` (reference networks/clip_arch.py:590-627) and saves
+trained ZUTIS weights with `torch.save(network.state_dict())`
+(trainer.py:246,252). This module maps those layouts onto ours:
+
+  torch Linear weight [out, in]      -> flax Dense kernel [in, out] (transpose)
+  torch MHA in_proj_weight [3d, d]   -> split q/k/v Dense kernels
+  torch Conv2d weight OIHW           -> flax Conv kernel HWIO
+  torch LayerNorm weight/bias        -> LayerNorm32/LayerNorm_0 scale/bias
+  torch Embedding weight             -> flax Embed embedding
+
+Only numpy in/out here; `load_torch_state_dict` handles .pt files (both plain
+and TorchScript archives) when torch is importable."""
+from __future__ import annotations
+
+import io
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+
+def _np(x) -> np.ndarray:
+    if isinstance(x, np.ndarray):
+        return x
+    # torch tensor without importing torch at module scope
+    return np.asarray(x.detach().cpu().float().numpy())
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    try:
+        model = torch.jit.load(path, map_location="cpu")
+        sd = model.state_dict()
+    except Exception:
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        if "state_dict" in sd and isinstance(sd["state_dict"], Mapping):
+            sd = sd["state_dict"]
+    return {k: _np(v) for k, v in sd.items() if hasattr(v, "detach") or
+            isinstance(v, np.ndarray)}
+
+
+def _ln(sd: Mapping[str, Any], prefix: str) -> dict:
+    return {"LayerNorm_0": {
+        "scale": _np(sd[f"{prefix}.weight"]),
+        "bias": _np(sd[f"{prefix}.bias"]),
+    }}
+
+
+def _dense(sd: Mapping[str, Any], prefix: str) -> dict:
+    return {
+        "kernel": _np(sd[f"{prefix}.weight"]).T,
+        "bias": _np(sd[f"{prefix}.bias"]),
+    }
+
+
+def _mha(sd: Mapping[str, Any], prefix: str) -> dict:
+    """torch nn.MultiheadAttention -> our MultiHeadAttention params."""
+    out = {}
+    w = _np(sd[f"{prefix}.in_proj_weight"])
+    b = _np(sd[f"{prefix}.in_proj_bias"])
+    d = w.shape[1]
+    for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
+        out[name] = {"kernel": w[i * d:(i + 1) * d].T,
+                     "bias": b[i * d:(i + 1) * d]}
+    out["out_proj"] = _dense(sd, f"{prefix}.out_proj")
+    return out
+
+
+def _resblock(sd: Mapping[str, Any], prefix: str) -> dict:
+    return {
+        "ln_1": _ln(sd, f"{prefix}.ln_1"),
+        "attn": _mha(sd, f"{prefix}.attn"),
+        "ln_2": _ln(sd, f"{prefix}.ln_2"),
+        "mlp_c_fc": _dense(sd, f"{prefix}.mlp.c_fc"),
+        "mlp_c_proj": _dense(sd, f"{prefix}.mlp.c_proj"),
+    }
+
+
+def convert_clip_visual(sd: Mapping[str, Any], prefix: str = "visual.") -> dict:
+    """CLIP ViT visual tower -> CLIPViT params."""
+    p = prefix
+    rb = f"{p}transformer.resblocks."
+    n_layers = len({k[len(rb):].split(".")[0] for k in sd if k.startswith(rb)})
+    params = {
+        "conv1": {"kernel": _np(sd[f"{p}conv1.weight"]).transpose(2, 3, 1, 0)},
+        "class_embedding": _np(sd[f"{p}class_embedding"]),
+        "positional_embedding": _np(sd[f"{p}positional_embedding"]),
+        "ln_pre": _ln(sd, f"{p}ln_pre"),
+        "ln_post": _ln(sd, f"{p}ln_post"),
+        "proj": _np(sd[f"{p}proj"]),
+    }
+    for i in range(n_layers):
+        params[f"resblocks_{i}"] = _resblock(sd, f"{p}transformer.resblocks.{i}")
+    return params
+
+
+def convert_clip_text(sd: Mapping[str, Any]) -> dict:
+    n_layers = len({
+        k.split(".")[2] for k in sd if k.startswith("transformer.resblocks.")
+    })
+    params = {
+        "token_embedding": {"embedding": _np(sd["token_embedding.weight"])},
+        "positional_embedding": _np(sd["positional_embedding"]),
+        "ln_final": _ln(sd, "ln_final"),
+        "text_projection": _np(sd["text_projection"]),
+    }
+    for i in range(n_layers):
+        params[f"resblocks_{i}"] = _resblock(sd, f"transformer.resblocks.{i}")
+    return params
+
+
+def _mlp3(sd: Mapping[str, Any], prefix: str, n: int = 3) -> dict:
+    return {f"layers_{i}": _dense(sd, f"{prefix}.layers.{i}") for i in range(n)}
+
+
+def convert_zutis(sd: Mapping[str, Any]) -> dict:
+    """Reference ZUTIS state_dict (trainer.py checkpoint) -> ZUTIS params."""
+    n_dec = len({
+        k.split(".")[2] for k in sd if k.startswith("decoder.layers.")
+    })
+    dec = {"norm": _ln(sd, "decoder.norm")}
+    for i in range(n_dec):
+        p = f"decoder.layers.{i}"
+        dec[f"layers_{i}"] = {
+            "self_attn": _mha(sd, f"{p}.self_attn"),
+            "cross_attn": _mha(sd, f"{p}.multihead_attn"),
+            "linear1": _dense(sd, f"{p}.linear1"),
+            "linear2": _dense(sd, f"{p}.linear2"),
+            "norm1": _ln(sd, f"{p}.norm1"),
+            "norm2": _ln(sd, f"{p}.norm2"),
+            "norm3": _ln(sd, f"{p}.norm3"),
+        }
+    return {
+        "encoder": convert_clip_visual(sd, prefix="encoder."),
+        "ffn1": _mlp3(sd, "ffn1"),
+        "ffn2": _mlp3(sd, "ffn2"),
+        "decoder": dec,
+        "query_embed": _np(sd["query_embed"]),
+    }
+
+
+def export_zutis(params: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse of convert_zutis: flax ZUTIS params -> reference-layout
+    state_dict (numpy), for .pt-compatible export (SURVEY.md section 5,
+    checkpoint/resume row)."""
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_dense(prefix, d):
+        sd[f"{prefix}.weight"] = np.asarray(d["kernel"]).T
+        sd[f"{prefix}.bias"] = np.asarray(d["bias"])
+
+    def put_ln(prefix, d):
+        sd[f"{prefix}.weight"] = np.asarray(d["LayerNorm_0"]["scale"])
+        sd[f"{prefix}.bias"] = np.asarray(d["LayerNorm_0"]["bias"])
+
+    def put_mha(prefix, d):
+        w = np.concatenate([np.asarray(d[n]["kernel"]).T
+                            for n in ("q_proj", "k_proj", "v_proj")], 0)
+        b = np.concatenate([np.asarray(d[n]["bias"])
+                            for n in ("q_proj", "k_proj", "v_proj")], 0)
+        sd[f"{prefix}.in_proj_weight"] = w
+        sd[f"{prefix}.in_proj_bias"] = b
+        put_dense(f"{prefix}.out_proj", d["out_proj"])
+
+    enc = params["encoder"]
+    sd["encoder.conv1.weight"] = np.asarray(enc["conv1"]["kernel"]).transpose(3, 2, 0, 1)
+    sd["encoder.class_embedding"] = np.asarray(enc["class_embedding"])
+    sd["encoder.positional_embedding"] = np.asarray(enc["positional_embedding"])
+    sd["encoder.proj"] = np.asarray(enc["proj"])
+    put_ln("encoder.ln_pre", enc["ln_pre"])
+    put_ln("encoder.ln_post", enc["ln_post"])
+    i = 0
+    while f"resblocks_{i}" in enc:
+        rb = enc[f"resblocks_{i}"]
+        p = f"encoder.transformer.resblocks.{i}"
+        put_ln(f"{p}.ln_1", rb["ln_1"])
+        put_ln(f"{p}.ln_2", rb["ln_2"])
+        put_mha(f"{p}.attn", rb["attn"])
+        put_dense(f"{p}.mlp.c_fc", rb["mlp_c_fc"])
+        put_dense(f"{p}.mlp.c_proj", rb["mlp_c_proj"])
+        i += 1
+    for ffn in ("ffn1", "ffn2"):
+        for j in range(3):
+            put_dense(f"{ffn}.layers.{j}", params[ffn][f"layers_{j}"])
+    dec = params["decoder"]
+    put_ln("decoder.norm", dec["norm"])
+    i = 0
+    while f"layers_{i}" in dec:
+        dl = dec[f"layers_{i}"]
+        p = f"decoder.layers.{i}"
+        put_mha(f"{p}.self_attn", dl["self_attn"])
+        put_mha(f"{p}.multihead_attn", dl["cross_attn"])
+        put_dense(f"{p}.linear1", dl["linear1"])
+        put_dense(f"{p}.linear2", dl["linear2"])
+        put_ln(f"{p}.norm1", dl["norm1"])
+        put_ln(f"{p}.norm2", dl["norm2"])
+        put_ln(f"{p}.norm3", dl["norm3"])
+        i += 1
+    sd["query_embed"] = np.asarray(params["query_embed"])
+    return sd

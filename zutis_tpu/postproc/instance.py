@@ -1,0 +1,142 @@
+"""Inference post-processing: semantic argmax maps and instance decoding.
+
+Behavioural contract (reference networks/zutis.py:340-470 `predict`):
+  semantic: logits = text_embeddings . patch_tokens, bilinear-resize to the
+    target size, argmax over categories (zutis.py:356-372).
+  instance: take the last decoder layer's proposals; binarise at `threshold`
+    (0.5); mask confidence = mean in-mask proposal probability; classify each
+    query by the L2-normalised masked-average patch token against the text
+    embeddings through sigmoid(sim * temperature=5); final confidence =
+    mask confidence * max category probability; bilinear-upsample proposals to
+    the image size and re-binarise; per-category hard NMS (zutis.py:374-470).
+
+TPU-first: the whole instance path up to and including NMS runs on device
+with static shapes ([Q] proposals per image); only the RLE/JSON assembly of
+kept masks runs on host (instances_to_coco).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zutis_tpu.ops import rle as rle_ops
+from zutis_tpu.ops.nms import mask_nms
+from zutis_tpu.ops.resize import resize_2d
+
+
+def predict_semantic(
+    patch_tokens: jnp.ndarray,  # [b, h, w, text_dim]
+    text_embeddings: jnp.ndarray,  # [n_cat, text_dim]
+    size: Optional[tuple] = None,
+    return_logits: bool = False,
+) -> jnp.ndarray:
+    """-> [b, H, W] argmax category ids (or [b, n_cat, H, W] logits)."""
+    logits = jnp.einsum(
+        "nc,bhwc->bnhw", text_embeddings, patch_tokens,
+        preferred_element_type=jnp.float32,
+    )
+    if size is not None:
+        logits = resize_2d(logits, size, mode="linear")
+    if return_logits:
+        return logits
+    return jnp.argmax(logits, axis=1)
+
+
+@partial(jax.jit, static_argnames=("size", "threshold", "temperature",
+                                   "nms_type", "nms_threshold"))
+def predict_instances_device(
+    mask_proposals: jnp.ndarray,  # [b, L, Q, h, w] or [b, Q, h, w], in [0,1]
+    patch_tokens: jnp.ndarray,  # [b, h, w, text_dim]
+    text_embeddings: jnp.ndarray,  # [n_cat, text_dim]
+    size: Optional[tuple] = None,  # (H, W) output size
+    threshold: float = 0.5,
+    temperature: float = 5.0,
+    nms_type: str = "hard",
+    nms_threshold: float = 0.3,
+) -> Dict[str, jnp.ndarray]:
+    """Device-side instance decode + NMS. Returns per image (batched):
+    masks [b, Q, H, W] bool, scores [b, Q], category_ids [b, Q],
+    keep [b, Q] bool."""
+    if mask_proposals.ndim == 5:
+        mask_proposals = mask_proposals[:, -1]
+    b, q = mask_proposals.shape[:2]
+
+    binary = mask_proposals > threshold  # [b, Q, h, w]
+    sizes = binary.sum(axis=(-2, -1)).astype(jnp.float32)  # [b, Q]
+    confidence = (
+        jnp.sum(mask_proposals * binary, axis=(-2, -1)) / (sizes + 1e-7)
+    )
+
+    avg_tokens = jnp.einsum(
+        "bhwc,bqhw->bqc", patch_tokens, binary.astype(patch_tokens.dtype),
+        preferred_element_type=jnp.float32,
+    ) / (sizes[..., None] + 1e-7)
+    avg_tokens = avg_tokens / (
+        jnp.linalg.norm(avg_tokens, axis=-1, keepdims=True) + 1e-7
+    )
+    cat_probs = jax.nn.sigmoid(
+        jnp.einsum("nc,bqc->bqn", text_embeddings, avg_tokens,
+                   preferred_element_type=jnp.float32) * temperature
+    )
+    category_ids = jnp.argmax(cat_probs, axis=-1)  # [b, Q]
+    confidence = confidence * jnp.max(cat_probs, axis=-1)
+
+    if size is not None:
+        up = resize_2d(mask_proposals, size, mode="linear")
+        binary_out = up > threshold
+    else:
+        binary_out = binary
+
+    keep, out_scores = jax.vmap(
+        lambda m, s, c: mask_nms(m, s, c, nms_threshold=nms_threshold,
+                                 nms_type=nms_type)
+    )(binary_out, confidence, category_ids)
+    return {
+        "masks": binary_out,
+        "scores": out_scores,
+        "category_ids": category_ids,
+        "keep": keep,
+    }
+
+
+def instances_to_coco(
+    device_out: Dict[str, np.ndarray],
+    image_ids: List[int],
+    label_id_to_category: Optional[Dict[int, str]] = None,
+    new_label_id_to_old_label_id: Optional[Dict[int, int]] = None,
+) -> List[dict]:
+    """Host-side assembly of COCO-style prediction dicts (RLE + bbox) from
+    the device NMS output — the reference's per-prediction dict layout
+    (networks/zutis.py:288-298)."""
+    preds: List[dict] = []
+    masks = np.asarray(device_out["masks"])
+    scores = np.asarray(device_out["scores"])
+    cats = np.asarray(device_out["category_ids"])
+    keep = np.asarray(device_out["keep"])
+    for bi, image_id in enumerate(image_ids):
+        hw = masks.shape[-2:]
+        for qi in np.flatnonzero(keep[bi]):
+            m = masks[bi, qi].astype(np.uint8)
+            if m.sum() == 0:
+                continue
+            cid = int(cats[bi, qi])
+            if new_label_id_to_old_label_id is not None:
+                label_id = new_label_id_to_old_label_id[cid]
+            else:
+                label_id = cid
+            pred = {
+                "category_id": label_id,
+                "segmentation": rle_ops.encode(m),
+                "score": float(scores[bi, qi]),
+                "image_id": image_id,
+                "image_size": tuple(hw),
+                "bbox": rle_ops.to_bbox(m),
+            }
+            if label_id_to_category is not None:
+                pred["pred_class"] = label_id_to_category[label_id]
+            preds.append(pred)
+    return preds

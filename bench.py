@@ -20,8 +20,11 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
+    from zutis_tpu.core.cache import enable_compilation_cache
     from zutis_tpu.models import ZUTIS
     from zutis_tpu.postproc import predict_semantic
+
+    enable_compilation_cache()
 
     image_size = 384
     n_cat = 919  # ImageNet-S benchmark width

@@ -116,13 +116,14 @@ def experiment_name(cfg: Config) -> str:
     if cfg.index_dataset_name == "index":
         parts.append(f"n{cfg.n_images}")
         for p in cfg.dir_train_dataset:
-            dir_name = p.split("/")[-2]
+            dir_name = p.split("/")[-2] if "/" in p else p
             if dir_name == "ImageNet2012":
                 parts.append("imagenet")
             elif dir_name == "pass":
                 parts.append("pass")
             else:
-                raise ValueError(dir_name)
+                # archives beyond the reference's two get their dir name
+                parts.append(dir_name.replace("/", "_"))
     parts.append(
         f"sr{int(cfg.scale_range[0] * 100)}{int(cfg.scale_range[1] * 100)}"
     )

@@ -1,0 +1,92 @@
+"""Pseudo-mask generation: SelfMask inference + bilateral refinement ->
+per-image COCO-RLE JSON files.
+
+Behavioural contract (reference datasets/index_dataset.py:177-277
+`generate_pseudo_masks` / `_get_pseudo_masks`): for each retrieved image,
+resize the shorter side to 512, run SelfMask (single best mask), refine with
+the bilateral solver at the resized resolution, nearest-resize the binary
+mask back to the original size, RLE-encode to
+`<dir_pseudo_masks>/<image-stem>.json`, and assert the written RLE decodes
+back pixel-exactly (index_dataset.py:219-224). Existing files are reused.
+
+TPU-first: SelfMask runs batched and jitted on device at a fixed padded
+resolution; only the bilateral solve runs on host."""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+from PIL import Image
+
+from zutis_tpu.data.transforms import normalize_image, resize_edge
+from zutis_tpu.models.selfmask import SelfMask, pad_to_patch_multiple
+from zutis_tpu.ops import rle as rle_ops
+from zutis_tpu.ops.bilateral import bilateral_solver_output
+
+
+def pseudo_mask_path(dir_pseudo_masks: str, p_image: str) -> str:
+    stem = os.path.splitext(os.path.basename(p_image))[0]
+    return os.path.join(dir_pseudo_masks, f"{stem}.json")
+
+
+def generate_pseudo_masks(
+    p_images: List[str],
+    dir_pseudo_masks: str,
+    selfmask_params,
+    model: Optional[SelfMask] = None,
+    image_size: int = 512,
+    use_bilateral_solver: bool = True,
+    overwrite: bool = False,
+) -> Dict[str, str]:
+    """Returns {p_image: p_pseudo_mask_json}; generates missing entries."""
+    import jax
+    import jax.numpy as jnp
+
+    os.makedirs(dir_pseudo_masks, exist_ok=True)
+    model = model or SelfMask()
+    out: Dict[str, str] = {}
+    todo: List[str] = []
+    for p in p_images:
+        p_mask = pseudo_mask_path(dir_pseudo_masks, p)
+        out[p] = p_mask
+        if overwrite or not os.path.exists(p_mask):
+            todo.append(p)
+    if not todo:
+        return out
+
+    best_masks = jax.jit(
+        lambda params, x: model.apply({"params": params}, x,
+                                      method=SelfMask.best_masks)
+    )
+
+    for p_image in todo:
+        pil = Image.open(p_image).convert("RGB")
+        W0, H0 = pil.size
+        resized = resize_edge(pil, image_size, edge="shorter")
+        arr = normalize_image(resized)[None]  # [1, 3, h, w]
+        padded = pad_to_patch_multiple(arr, model.patch_size)
+        h, w = arr.shape[-2:]
+        mask = np.asarray(
+            best_masks(selfmask_params, jnp.asarray(padded))
+        )[0, :h, :w]
+
+        if use_bilateral_solver:
+            _, refined = bilateral_solver_output(
+                np.asarray(resized), mask.astype(np.float64))
+            mask = refined.astype(np.uint8)
+
+        # nearest-resize back to the original resolution
+        mask_img = Image.fromarray(mask * 255).resize((W0, H0), Image.NEAREST)
+        final = (np.asarray(mask_img) > 127).astype(np.uint8)
+
+        encoded = rle_ops.encode(final)
+        p_mask = out[p_image]
+        with open(p_mask, "w") as f:
+            json.dump(encoded, f)
+        with open(p_mask) as f:
+            roundtrip = rle_ops.decode(json.load(f))
+        assert np.array_equal(roundtrip, final), \
+            f"RLE round-trip mismatch for {p_image}"
+    return out

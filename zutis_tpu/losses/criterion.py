@@ -122,6 +122,10 @@ def criterion_loss(
     b, L, Q = mask_proposals.shape[:3]
     n_max = gt_instance_masks.shape[1]
     H, W = gt_instance_masks.shape[-2:]
+    assert n_max <= Q, (
+        f"more instances ({n_max}) than queries ({Q}); ZUTIS matches each "
+        f"instance to a distinct query (reference criterion.py:145)"
+    )
 
     # ===== cross-entropy loss =====
     tokens = patch_tokens.transpose(0, 3, 1, 2)  # [b, c, h, w]

@@ -43,7 +43,7 @@ def main():
 
     @jax.jit
     def infer(p, image):
-        out = model.apply({"params": p}, image)
+        out = model.apply({"params": p}, image, inference=True)
         sem = predict_semantic(out["patch_tokens"], text)  # argmax at h x w
         return sem
 

@@ -88,7 +88,12 @@ class ZUTIS(nn.Module):
             (self.n_queries, self.width),
         )
 
-    def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    def __call__(
+        self, x: jnp.ndarray, inference: bool = False
+    ) -> Dict[str, jnp.ndarray]:
+        """inference=True computes mask proposals for the LAST decoder layer
+        only — prediction uses just that layer (reference zutis.py:379-382),
+        so the other 5 sigmoid einsums are training-only work."""
         b = x.shape[0]
         patch_tokens, h_feat, w_feat = self.encoder(x)
 
@@ -116,6 +121,8 @@ class ZUTIS(nn.Module):
         tgt = jnp.zeros_like(query_pos)
 
         queries = self.decoder(tgt, memory, pos=pos, query_pos=query_pos)
+        if inference:
+            queries = queries[-1:]  # last decoder layer only
         queries = queries.transpose(1, 0, 2, 3)  # [b, L, Q, d]
         queries = self.ffn2(queries)
         queries = queries / jnp.linalg.norm(queries, axis=-1, keepdims=True)

@@ -123,6 +123,104 @@ def test_encode_image_pooled_path():
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-4)
 
 
+def test_modified_resnet_matches_torch():
+    """Dense feature path parity: stem + 4 anti-aliased bottleneck stages,
+    frozen BN (reference clip_arch.py:156-264)."""
+    from torch_oracle import TorchModifiedResNet
+    from zutis_tpu.models.resnet import ModifiedResNet
+
+    torch.manual_seed(5)
+    oracle = TorchModifiedResNet(layers=(1, 2, 1, 1), width=8, output_dim=32,
+                                 heads=4, input_resolution=64)
+    # randomise BN stats so frozen-BN math is actually exercised
+    for m in oracle.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.5)
+            m.running_var.uniform_(0.5, 2.0)
+    oracle.eval()
+    params = W.convert_clip_rn_visual(oracle.state_dict_clip_layout())
+
+    model = ModifiedResNet(layers=(1, 2, 1, 1), width=8, output_dim=32,
+                           heads=4, input_resolution=64)
+    x = np.random.RandomState(6).randn(2, 3, 64, 96).astype(np.float32)
+    with torch.no_grad():
+        want, h, w = oracle(torch.from_numpy(x))
+    got, gh, gw = model.apply({"params": params}, jnp.asarray(x))
+    assert (gh, gw) == (h, w) == (2, 3)
+    np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_attnpool_tokens_matches_torch():
+    """AttentionPool2d-as-projection parity, incl. pos-emb interpolation to a
+    non-native grid (reference clip_arch.py:60-126, zutis.py:309-316)."""
+    from torch_oracle import TorchModifiedResNet
+    from zutis_tpu.models.resnet import ModifiedResNet
+
+    torch.manual_seed(7)
+    oracle = TorchModifiedResNet(layers=(1, 1, 1, 1), width=8, output_dim=32,
+                                 heads=4, input_resolution=64)
+    oracle.eval()
+    params = W.convert_clip_rn_visual(oracle.state_dict_clip_layout())
+    model = ModifiedResNet(layers=(1, 1, 1, 1), width=8, output_dim=32,
+                           heads=4, input_resolution=64)
+
+    rng = np.random.RandomState(8)
+    grid = rng.randn(2, 4, 6, 8 * 32).astype(np.float32)  # non-native 4x6
+    with torch.no_grad():
+        want = oracle.attnpool(
+            torch.from_numpy(grid.transpose(0, 3, 1, 2)))  # [(1+hw), b, out]
+        want = want[1:].permute(1, 0, 2).reshape(2, 4, 6, 32).numpy()
+    got = model.apply({"params": params}, jnp.asarray(grid),
+                      method=ModifiedResNet.attnpool_tokens)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-4)
+
+
+def test_zutis_rn_forward_shapes():
+    """RN-family ZUTIS builds and runs: x2 upsample for RN50, no upsample
+    for dilatedRN50 (reference networks/zutis.py:488-497)."""
+    from zutis_tpu.models.factory import normalize_clip_arch
+    from zutis_tpu.models.zutis import ZUTIS
+
+    for arch, expect_hw in [("RN50", 4), ("dilatedRN50", 2)]:
+        base, upsample = normalize_clip_arch(arch)
+        assert base == "RN50"
+        # RN50 block structure shrunk for test speed (rn_width 8 -> width 256)
+        model = ZUTIS(encoder_family="rn", rn_layers=(1, 1, 1, 1), rn_width=8,
+                      width=256, text_dim=64, input_resolution=64,
+                      n_queries=7, n_decoder_layers=2, n_heads=8,
+                      upsample_tokens=upsample)
+        x = jnp.asarray(np.random.RandomState(9).randn(1, 3, 64, 64),
+                        jnp.float32)
+        variables = model.init(jax.random.PRNGKey(1), x)
+        out = model.apply(variables, x)
+        hw = expect_hw
+        assert out["mask_proposals"].shape == (1, 2, 7, hw, hw)
+        assert out["patch_tokens"].shape == (1, hw, hw, 64)
+
+
+def test_frozen_bn_stats_masked_from_optimizer():
+    """running_mean/var receive no updates (incl. weight decay) while the
+    affine scale/bias do (engine/optim.py:_zero_frozen_stats)."""
+    import optax
+    from zutis_tpu.engine.optim import make_optimizer
+
+    params = {"encoder": {"bn1": {
+        "scale": jnp.ones(3), "bias": jnp.zeros(3),
+        "running_mean": jnp.full(3, 0.7), "running_var": jnp.full(3, 1.3),
+    }}}
+    opt = make_optimizer(base_lr=0.1, n_iters=10, weight_decay=0.5)
+    state = opt.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = opt.update(grads, state, params)
+    new = optax.apply_updates(params, updates)
+    bn = new["encoder"]["bn1"]
+    np.testing.assert_allclose(np.asarray(bn["running_mean"]), 0.7)
+    np.testing.assert_allclose(np.asarray(bn["running_var"]), 1.3)
+    assert float(jnp.abs(bn["scale"] - 1.0).sum()) > 0
+    assert float(jnp.abs(bn["bias"]).sum()) > 0
+
+
 def test_weight_export_roundtrip():
     model = CLIPViT(width=32, layers=1, heads=2, patch_size=16, output_dim=16)
     x = jnp.zeros((1, 3, 32, 32))

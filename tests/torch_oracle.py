@@ -113,6 +113,127 @@ class TorchQueryDecoder(nn.Module):
         return torch.stack(outs)  # [L, s, b, d]
 
 
+class TorchBottleneck(nn.Module):
+    """CLIP anti-aliased bottleneck (reference clip_arch.py:12-57 semantics)."""
+
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.avgpool = nn.AvgPool2d(stride) if stride > 1 else nn.Identity()
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.downsample = None
+        if stride > 1 or inplanes != planes * 4:
+            self.downsample = nn.Sequential()
+            self.downsample.add_module("pool", nn.AvgPool2d(stride) if stride > 1 else nn.Identity())
+            self.downsample.add_module("conv", nn.Conv2d(inplanes, planes * 4, 1, bias=False))
+            self.downsample.add_module("bn", nn.BatchNorm2d(planes * 4))
+
+    def forward(self, x):
+        out = F.relu(self.bn1(self.conv1(x)))
+        out = F.relu(self.bn2(self.conv2(out)))
+        out = self.avgpool(out)
+        out = self.bn3(self.conv3(out))
+        identity = x if self.downsample is None else self.downsample(x)
+        return F.relu(out + identity)
+
+
+class TorchAttentionPool2d(nn.Module):
+    """QKV attention pool returning all tokens, with the interpolated
+    positional embedding (reference clip_arch.py:60-126)."""
+
+    def __init__(self, spacial_dim, embed_dim, num_heads, output_dim):
+        super().__init__()
+        self.positional_embedding = nn.Parameter(
+            torch.randn(spacial_dim ** 2 + 1, embed_dim) / embed_dim ** 0.5)
+        self.q_proj = nn.Linear(embed_dim, embed_dim)
+        self.k_proj = nn.Linear(embed_dim, embed_dim)
+        self.v_proj = nn.Linear(embed_dim, embed_dim)
+        self.c_proj = nn.Linear(embed_dim, output_dim)
+        self.num_heads = num_heads
+
+    def forward(self, x):  # [b, c, h, w] -> [(1+hw), b, out]
+        h_feat, w_feat = x.shape[-2:]
+        x = x.flatten(start_dim=2).permute(2, 0, 1)
+        x = torch.cat([x.mean(dim=0, keepdim=True), x], dim=0)
+        pe = TorchCLIPViT.interp_pos(
+            self.positional_embedding, (h_feat, w_feat))
+        x = x + pe[:, None, :]
+        out, _ = F.multi_head_attention_forward(
+            query=x, key=x, value=x,
+            embed_dim_to_check=x.shape[-1], num_heads=self.num_heads,
+            q_proj_weight=self.q_proj.weight, k_proj_weight=self.k_proj.weight,
+            v_proj_weight=self.v_proj.weight, in_proj_weight=None,
+            in_proj_bias=torch.cat(
+                [self.q_proj.bias, self.k_proj.bias, self.v_proj.bias]),
+            bias_k=None, bias_v=None, add_zero_attn=False, dropout_p=0,
+            out_proj_weight=self.c_proj.weight,
+            out_proj_bias=self.c_proj.bias,
+            use_separate_proj_weight=True, training=False, need_weights=False)
+        return out
+
+
+class TorchModifiedResNet(nn.Module):
+    """CLIP ModifiedResNet dense path (reference clip_arch.py:156-264)."""
+
+    def __init__(self, layers=(1, 1, 1, 1), width=8, output_dim=32,
+                 heads=4, input_resolution=64):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, width // 2, 3, stride=2, padding=1, bias=False)
+        self.bn1 = nn.BatchNorm2d(width // 2)
+        self.conv2 = nn.Conv2d(width // 2, width // 2, 3, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(width // 2)
+        self.conv3 = nn.Conv2d(width // 2, width, 3, padding=1, bias=False)
+        self.bn3 = nn.BatchNorm2d(width)
+        self.avgpool = nn.AvgPool2d(2)
+        self._inplanes = width
+
+        def make_layer(planes, blocks, stride=1):
+            mods = [TorchBottleneck(self._inplanes, planes, stride)]
+            self._inplanes = planes * 4
+            for _ in range(1, blocks):
+                mods.append(TorchBottleneck(self._inplanes, planes))
+            return nn.Sequential(*mods)
+
+        self.layer1 = make_layer(width, layers[0])
+        self.layer2 = make_layer(width * 2, layers[1], stride=2)
+        self.layer3 = make_layer(width * 4, layers[2], stride=2)
+        self.layer4 = make_layer(width * 8, layers[3], stride=2)
+        self.attnpool = TorchAttentionPool2d(
+            input_resolution // 32, width * 32, heads, output_dim)
+
+    def features(self, x):
+        x = F.relu(self.bn1(self.conv1(x)))
+        x = F.relu(self.bn2(self.conv2(x)))
+        x = F.relu(self.bn3(self.conv3(x)))
+        x = self.avgpool(x)
+        for layer in (self.layer1, self.layer2, self.layer3, self.layer4):
+            x = layer(x)
+        return x
+
+    def forward(self, x):  # dense tokens like reference forward :254-255
+        x = self.features(x)
+        h, w = x.shape[-2:]
+        return x.flatten(start_dim=-2).permute(0, 2, 1), h, w
+
+    def state_dict_clip_layout(self):
+        """Rename test-layout keys to the official CLIP checkpoint layout
+        ('visual.' prefix, downsample Sequential indices '0'/'1')."""
+        out = {}
+        for k, v in self.state_dict().items():
+            k = k.replace("downsample.conv", "downsample.0")
+            k = k.replace("downsample.bn", "downsample.1")
+            if "downsample.pool" in k or "num_batches_tracked" in k:
+                continue
+            out["visual." + k] = v
+        return out
+
+
 def torch_sine_pos_embed(h, w, npf, temperature=10000.0):
     """Reference PositionEmbeddingSine with normalize=True, no mask."""
     ones = torch.ones(1, h, w)

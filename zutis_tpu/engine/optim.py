@@ -50,6 +50,30 @@ def _scale_subtrees(multipliers: dict) -> optax.GradientTransformation:
     return optax.GradientTransformation(init, update)
 
 
+def _zero_frozen_stats() -> optax.GradientTransformation:
+    """Zero every update whose leaf is a FrozenBatchNorm running statistic
+    (`running_mean` / `running_var`, models/resnet.py): the reference keeps
+    BN buffers fixed under frozen_bn (networks/zutis.py:43) — without this
+    mask, AdamW's decoupled weight decay would still erode them."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+
+        def mask(path, u):
+            leaf = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+            if leaf in ("running_mean", "running_var"):
+                return jnp.zeros_like(u)
+            return u
+
+        return jax.tree_util.tree_map_with_path(mask, updates), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(
     base_lr: float = 5e-5,
     n_iters: int = 20000,
@@ -63,5 +87,6 @@ def make_optimizer(
         optax.scale_by_adam(),
         optax.add_decayed_weights(weight_decay),
         _scale_subtrees({"encoder": encoder_lr_scale}),
+        _zero_frozen_stats(),
         optax.scale_by_schedule(lambda s: -schedule(s)),
     )

@@ -26,7 +26,7 @@ class DecoderLayer(nn.Module):
     heads: int
     dim_feedforward: int = 2048
     dtype: jnp.dtype = jnp.float32
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(
@@ -35,6 +35,7 @@ class DecoderLayer(nn.Module):
         memory: jnp.ndarray,  # [b, s, d]
         pos: Optional[jnp.ndarray],  # [b, s, d]
         query_pos: Optional[jnp.ndarray],  # [b, q, d]
+        memory_mask: Optional[jnp.ndarray] = None,  # [b, s] valid-key mask
     ) -> jnp.ndarray:
         def add(t, p):
             return t if p is None else t + p
@@ -49,7 +50,8 @@ class DecoderLayer(nn.Module):
         tgt = tgt + MultiHeadAttention(
             self.d_model, self.heads, dtype=self.dtype,
             attn_impl=self.attn_impl, name="cross_attn",
-        )(add(tgt, query_pos), add(memory, pos), memory)
+        )(add(tgt, query_pos), add(memory, pos), memory,
+          kv_mask=memory_mask)
         tgt = LayerNorm32(name="norm2")(tgt)
 
         y = nn.Dense(self.dim_feedforward, dtype=self.dtype,
@@ -69,7 +71,7 @@ class QueryDecoder(nn.Module):
     dim_feedforward: int = 2048
     return_intermediate: bool = True
     dtype: jnp.dtype = jnp.float32
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(
@@ -78,6 +80,7 @@ class QueryDecoder(nn.Module):
         memory: jnp.ndarray,
         pos: Optional[jnp.ndarray] = None,
         query_pos: Optional[jnp.ndarray] = None,
+        memory_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Returns [n_layers, b, q, d] if return_intermediate else [1, b, q, d];
         every slice is passed through the shared final norm."""
@@ -88,7 +91,7 @@ class QueryDecoder(nn.Module):
             x = DecoderLayer(
                 self.d_model, self.heads, self.dim_feedforward,
                 dtype=self.dtype, attn_impl=self.attn_impl, name=f"layers_{i}",
-            )(x, memory, pos, query_pos)
+            )(x, memory, pos, query_pos, memory_mask=memory_mask)
             if self.return_intermediate:
                 outputs.append(x)
         if not self.return_intermediate:

@@ -26,13 +26,40 @@ _VIT_SPECS = {
     "ViT-L/14@336px": (1024, 24, 16, 14, 768, 336),
 }
 
+_RN_SPECS = {
+    # stage blocks, stem width, embed_dim (width*32), output_dim, input_res
+    # (reference networks/clip_arch.py:590-627 derives these from the
+    # checkpoint; utils/utils.py:165 lists the supported arch names)
+    "RN50": ((3, 4, 6, 3), 64, 2048, 1024, 224),
+    "RN101": ((3, 4, 23, 3), 64, 2048, 512, 224),
+    "RN50x4": ((4, 6, 10, 6), 80, 2560, 640, 288),
+    "RN50x16": ((6, 8, 18, 8), 96, 3072, 768, 384),
+    "RN50x64": ((3, 15, 36, 10), 128, 4096, 1024, 448),
+}
+
 _TEXT_SPECS = {
     # width, layers, heads, embed_dim
     "ViT-B/32": (512, 12, 8, 512),
     "ViT-B/16": (512, 12, 8, 512),
     "ViT-L/14": (768, 12, 12, 768),
     "ViT-L/14@336px": (768, 12, 12, 768),
+    "RN50": (512, 12, 8, 1024),
+    "RN101": (512, 12, 8, 512),
+    "RN50x4": (640, 12, 10, 640),
+    "RN50x16": (768, 12, 12, 768),
+    "RN50x64": (1024, 12, 16, 1024),
 }
+
+
+def normalize_clip_arch(clip_arch: str) -> tuple:
+    """-> (base_arch, upsample_tokens). 'dilatedRN50' is RN50 with the x2
+    token upsample disabled — the reference's `lstrip("dilated")` plus the
+    condition at networks/zutis.py:488-497; there is no actual dilation."""
+    if clip_arch.startswith("dilated"):
+        base = clip_arch[len("dilated"):]
+        assert base in _RN_SPECS, f"unsupported clip_arch {clip_arch!r}"
+        return base, False
+    return clip_arch, True
 
 
 @dataclass
@@ -47,9 +74,8 @@ class ClipSpec:
 
 def clip_spec(clip_arch: str) -> ClipSpec:
     assert clip_arch in _VIT_SPECS, (
-        f"unsupported clip_arch {clip_arch!r}; ViT variants: "
-        f"{sorted(_VIT_SPECS)} (ModifiedResNet variants land with the RN "
-        f"encoder module)"
+        f"unsupported ViT clip_arch {clip_arch!r}; ViT variants: "
+        f"{sorted(_VIT_SPECS)}; RN variants: {sorted(_RN_SPECS)}"
     )
     return ClipSpec(*_VIT_SPECS[clip_arch])
 
@@ -61,9 +87,30 @@ def build_zutis(
     n_heads: int = 8,
     stop_gradient: bool = True,
     dtype=jnp.float32,
-    attn_impl: str = "xla",
+    attn_impl: str = "auto",
 ) -> ZUTIS:
-    s = clip_spec(clip_arch)
+    base_arch, upsample = normalize_clip_arch(clip_arch)
+    common = dict(
+        n_queries=n_queries,
+        n_decoder_layers=n_decoder_layers,
+        n_heads=n_heads,
+        stop_gradient=stop_gradient,
+        upsample_tokens=upsample,
+        dtype=dtype,
+        attn_impl=attn_impl,
+    )
+    if base_arch in _RN_SPECS:
+        layers, rn_width, embed, out_dim, res = _RN_SPECS[base_arch]
+        return ZUTIS(
+            encoder_family="rn",
+            width=embed,
+            text_dim=out_dim,
+            input_resolution=res,
+            rn_layers=layers,
+            rn_width=rn_width,
+            **common,
+        )
+    s = clip_spec(base_arch)
     return ZUTIS(
         width=s.width,
         encoder_layers=s.layers,
@@ -71,12 +118,7 @@ def build_zutis(
         patch_size=s.patch,
         text_dim=s.embed_dim,
         input_resolution=s.input_resolution,
-        n_queries=n_queries,
-        n_decoder_layers=n_decoder_layers,
-        n_heads=n_heads,
-        stop_gradient=stop_gradient,
-        dtype=dtype,
-        attn_impl=attn_impl,
+        **common,
     )
 
 

@@ -40,7 +40,8 @@ class MultiHeadAttention(nn.Module):
     dim: int
     heads: int
     dtype: jnp.dtype = jnp.float32
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
+    out_dim: Optional[int] = None  # output projection dim (defaults to dim)
 
     @nn.compact
     def __call__(
@@ -49,6 +50,7 @@ class MultiHeadAttention(nn.Module):
         k_in: jnp.ndarray,  # [b, sk, dim]
         v_in: jnp.ndarray,  # [b, sk, dim]
         bias: Optional[jnp.ndarray] = None,  # additive, broadcast to [b,h,sq,sk]
+        kv_mask: Optional[jnp.ndarray] = None,  # [b, sk] valid-key mask
     ) -> jnp.ndarray:
         d = self.dim
         hd = d // self.heads
@@ -64,11 +66,15 @@ class MultiHeadAttention(nn.Module):
             return x.reshape(b, s, self.heads, hd).transpose(0, 2, 1, 3)
 
         out = dot_product_attention(
-            split(q), split(k), split(v), bias=bias, impl=self.attn_impl
+            split(q), split(k), split(v), bias=bias, kv_mask=kv_mask,
+            impl=self.attn_impl,
         )
         b, _, sq, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, sq, d)
-        return dense("out_proj")(out)
+        return nn.Dense(
+            self.out_dim if self.out_dim is not None else d,
+            dtype=self.dtype, param_dtype=jnp.float32, name="out_proj",
+        )(out)
 
 
 class MLP(nn.Module):

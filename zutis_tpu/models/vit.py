@@ -29,15 +29,15 @@ class ResidualAttentionBlock(nn.Module):
     width: int
     heads: int
     dtype: jnp.dtype = jnp.float32
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, bias=None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, bias=None, kv_mask=None) -> jnp.ndarray:
         y = LayerNorm32(name="ln_1")(x)
         x = x + MultiHeadAttention(
             self.width, self.heads, dtype=self.dtype, attn_impl=self.attn_impl,
             name="attn",
-        )(y, y, y, bias=bias)
+        )(y, y, y, bias=bias, kv_mask=kv_mask)
         y = LayerNorm32(name="ln_2")(x)
         y = nn.Dense(self.width * 4, dtype=self.dtype, param_dtype=jnp.float32,
                      name="mlp_c_fc")(y)
@@ -78,7 +78,7 @@ class CLIPViT(nn.Module):
     output_dim: int = 512
     input_resolution: int = 224  # grid the stored pos-emb was trained at
     dtype: jnp.dtype = jnp.float32
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
 
     def setup(self):
         scale = self.width ** -0.5
@@ -141,3 +141,47 @@ class CLIPViT(nn.Module):
         tokens, _, _ = self._forward_tokens(x)
         pooled = self.ln_post(tokens[:, :1, :])[:, 0]
         return pooled @ self.proj.astype(self.dtype)
+
+    def forward_padded(
+        self, x: jnp.ndarray, native_grid: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Batched variable-resolution forward under one static padded shape.
+
+        x: [b, 3, H_pad, W_pad] images padded bottom/right to a bucket shape;
+        native_grid: [b, 2] per-sample native token grids (H_i//patch,
+        W_i//patch). Produces patch tokens identical (up to fp reassociation)
+        to running each image through `__call__` at its native resolution:
+        the positional embedding is interpolated per-sample to the native
+        grid (ops/dynamic_shapes.py), and every attention layer masks keys to
+        the sample's valid tokens (+ CLS), so valid tokens never see padding.
+        Returns ([b, hp*wp, width] padded patch tokens — only the per-sample
+        [h_i, w_i] top-left window is meaningful — and the [b, hp*wp]
+        validity mask)."""
+        from zutis_tpu.ops.dynamic_shapes import (
+            interpolate_pos_embed_batched,
+            token_valid_mask,
+        )
+
+        b = x.shape[0]
+        x = x.transpose(0, 2, 3, 1)
+        x = self.conv1(x.astype(self.dtype))
+        _, hp, wp, _ = x.shape
+        tokens = x.reshape(b, hp * wp, self.width)
+        cls_tok = jnp.broadcast_to(
+            self.class_embedding.astype(self.dtype)[None, None],
+            (b, 1, self.width),
+        )
+        tokens = jnp.concatenate([cls_tok, tokens], axis=1)
+        pe = interpolate_pos_embed_batched(
+            self.positional_embedding, native_grid, (hp, wp)
+        )
+        tokens = tokens + pe.astype(self.dtype)
+        patch_valid = token_valid_mask(native_grid, hp, wp)  # [b, hp*wp]
+        kv_mask = jnp.concatenate(
+            [jnp.ones((b, 1), jnp.int32), patch_valid], axis=1
+        )
+        tokens = self.ln_pre(tokens)
+        for block in self.blocks:
+            tokens = block(tokens, kv_mask=kv_mask)
+        patch_tokens = self.ln_post(tokens[:, 1:, :])
+        return patch_tokens, patch_valid

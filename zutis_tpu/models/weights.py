@@ -100,6 +100,63 @@ def convert_clip_visual(sd: Mapping[str, Any], prefix: str = "visual.") -> dict:
     return params
 
 
+def _frozen_bn(sd: Mapping[str, Any], prefix: str) -> dict:
+    return {
+        "scale": _np(sd[f"{prefix}.weight"]),
+        "bias": _np(sd[f"{prefix}.bias"]),
+        "running_mean": _np(sd[f"{prefix}.running_mean"]),
+        "running_var": _np(sd[f"{prefix}.running_var"]),
+    }
+
+
+def _conv(sd: Mapping[str, Any], key: str) -> dict:
+    # torch Conv2d OIHW -> flax HWIO
+    return {"kernel": _np(sd[key]).transpose(2, 3, 1, 0)}
+
+
+def _bottleneck(sd: Mapping[str, Any], prefix: str) -> dict:
+    out = {}
+    for i in (1, 2, 3):
+        out[f"conv{i}"] = _conv(sd, f"{prefix}.conv{i}.weight")
+        out[f"bn{i}"] = _frozen_bn(sd, f"{prefix}.bn{i}")
+    if f"{prefix}.downsample.0.weight" in sd:
+        # reference clip_arch.py:36-42: Sequential("-1" avgpool, "0" conv,
+        # "1" bn) — avgpool has no params, so torch keys are .0/.1
+        out["downsample_conv"] = _conv(sd, f"{prefix}.downsample.0.weight")
+        out["downsample_bn"] = _frozen_bn(sd, f"{prefix}.downsample.1")
+    return out
+
+
+def convert_clip_rn_visual(
+    sd: Mapping[str, Any], prefix: str = "visual."
+) -> dict:
+    """CLIP ModifiedResNet visual tower -> ModifiedResNet params
+    (reference clip_arch.py:156-221 layout)."""
+    p = prefix
+    params: Dict[str, Any] = {}
+    for i in (1, 2, 3):
+        params[f"conv{i}"] = _conv(sd, f"{p}conv{i}.weight")
+        params[f"bn{i}"] = _frozen_bn(sd, f"{p}bn{i}")
+    for stage in (1, 2, 3, 4):
+        bi = 0
+        while f"{p}layer{stage}.{bi}.conv1.weight" in sd:
+            params[f"layer{stage}_{bi}"] = _bottleneck(
+                sd, f"{p}layer{stage}.{bi}"
+            )
+            bi += 1
+        assert bi > 0, f"no blocks found for layer{stage}"
+    params["attnpool"] = {
+        "positional_embedding": _np(sd[f"{p}attnpool.positional_embedding"]),
+        "attn": {
+            "q_proj": _dense(sd, f"{p}attnpool.q_proj"),
+            "k_proj": _dense(sd, f"{p}attnpool.k_proj"),
+            "v_proj": _dense(sd, f"{p}attnpool.v_proj"),
+            "out_proj": _dense(sd, f"{p}attnpool.c_proj"),
+        },
+    }
+    return params
+
+
 def convert_clip_text(sd: Mapping[str, Any]) -> dict:
     n_layers = len({
         k.split(".")[2] for k in sd if k.startswith("transformer.resblocks.")
@@ -136,8 +193,13 @@ def convert_zutis(sd: Mapping[str, Any]) -> dict:
             "norm2": _ln(sd, f"{p}.norm2"),
             "norm3": _ln(sd, f"{p}.norm3"),
         }
+    is_rn = "encoder.bn1.running_mean" in sd
     return {
-        "encoder": convert_clip_visual(sd, prefix="encoder."),
+        "encoder": (
+            convert_clip_rn_visual(sd, prefix="encoder.")
+            if is_rn
+            else convert_clip_visual(sd, prefix="encoder.")
+        ),
         "ffn1": _mlp3(sd, "ffn1"),
         "ffn2": _mlp3(sd, "ffn2"),
         "decoder": dec,

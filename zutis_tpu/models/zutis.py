@@ -24,9 +24,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from typing import Tuple
+
 from zutis_tpu.models.decoder import QueryDecoder
 from zutis_tpu.models.layers import MLP
 from zutis_tpu.models.pos_embed import sine_pos_embed
+from zutis_tpu.models.resnet import ModifiedResNet
 from zutis_tpu.models.vit import CLIPViT
 from zutis_tpu.ops.resize import interpolate
 
@@ -41,7 +44,29 @@ def full_map_layer_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
+def masked_full_map_layer_norm(
+    x: jnp.ndarray,  # [b, h, w, c]
+    valid: jnp.ndarray,  # [b, h, w] 1 inside each sample's native window
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """`full_map_layer_norm` whose statistics cover only each sample's valid
+    window — makes the padded batched program equal the per-image program on
+    that window. Outputs at invalid positions are meaningless."""
+    x32 = x.astype(jnp.float32)
+    m = valid.astype(jnp.float32)[..., None]
+    count = jnp.sum(m, axis=(1, 2, 3), keepdims=True) * x.shape[-1]
+    mean = jnp.sum(x32 * m, axis=(1, 2, 3), keepdims=True) / count
+    var = jnp.sum(jnp.square(x32 - mean) * m, axis=(1, 2, 3),
+                  keepdims=True) / count
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
 class ZUTIS(nn.Module):
+    # encoder family: "vit" (CLIP ViT) or "rn" (CLIP ModifiedResNet).
+    # For "rn", `width` is the stage-4 embed dim (rn_width * 32, e.g. 2048
+    # for RN50) — it feeds ffn1/ffn2 and the decoder exactly as the
+    # reference's `self.encoder.width` does (networks/zutis.py:59-71).
+    encoder_family: str = "vit"
     # encoder (ViT-B/16 defaults; ViT-B/32 via patch_size=32)
     width: int = 768
     encoder_layers: int = 12
@@ -49,6 +74,9 @@ class ZUTIS(nn.Module):
     patch_size: int = 16
     text_dim: int = 512
     input_resolution: int = 224
+    # RN-family geometry (used when encoder_family == "rn")
+    rn_layers: Tuple[int, int, int, int] = (3, 4, 6, 3)
+    rn_width: int = 64
     # decoder head
     n_queries: int = 100
     n_decoder_layers: int = 6
@@ -56,20 +84,37 @@ class ZUTIS(nn.Module):
     stop_gradient: bool = True
     upsample_tokens: bool = True  # ViT / non-dilated RN: x2 token upsample
     dtype: jnp.dtype = jnp.float32
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
 
     def setup(self):
-        self.encoder = CLIPViT(
-            width=self.width,
-            layers=self.encoder_layers,
-            heads=self.encoder_heads,
-            patch_size=self.patch_size,
-            output_dim=self.text_dim,
-            input_resolution=self.input_resolution,
-            dtype=self.dtype,
-            attn_impl=self.attn_impl,
-            name="encoder",
-        )
+        if self.encoder_family == "rn":
+            assert self.width == self.rn_width * 32, (
+                "RN encoders feed the decoder at their stage-4 embed dim: "
+                f"width must be rn_width*32={self.rn_width * 32}, "
+                f"got {self.width}"
+            )
+            self.encoder = ModifiedResNet(
+                layers=self.rn_layers,
+                width=self.rn_width,
+                output_dim=self.text_dim,
+                heads=self.rn_width * 32 // 64,
+                input_resolution=self.input_resolution,
+                dtype=self.dtype,
+                attn_impl=self.attn_impl,
+                name="encoder",
+            )
+        else:
+            self.encoder = CLIPViT(
+                width=self.width,
+                layers=self.encoder_layers,
+                heads=self.encoder_heads,
+                patch_size=self.patch_size,
+                output_dim=self.text_dim,
+                input_resolution=self.input_resolution,
+                dtype=self.dtype,
+                attn_impl=self.attn_impl,
+                name="encoder",
+            )
         self.ffn1 = MLP(256, self.width, 3, dtype=self.dtype, name="ffn1")
         self.ffn2 = MLP(256, self.width, 3, dtype=self.dtype, name="ffn2")
         self.decoder = QueryDecoder(
@@ -134,13 +179,21 @@ class ZUTIS(nn.Module):
         )
         mask_proposals = nn.sigmoid(logits)
 
-        proj = self.encoder.proj
-        text_tokens = jnp.einsum(
-            "bhwn,nc->bhwc",
-            patch_tokens.reshape(b, h_feat, w_feat, self.width),
-            proj.astype(self.dtype),
-            preferred_element_type=jnp.float32,
-        )
+        token_grid = patch_tokens.reshape(b, h_feat, w_feat, self.width)
+        if self.encoder_family == "rn":
+            # RN family: the reference projects to text space by running the
+            # (possibly upsampled) grid through AttentionPool2d and dropping
+            # the mean token (networks/zutis.py:309-316).
+            text_tokens = self.encoder.attnpool_tokens(token_grid).astype(
+                jnp.float32
+            )
+        else:
+            text_tokens = jnp.einsum(
+                "bhwn,nc->bhwc",
+                token_grid,
+                self.encoder.proj.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            )
         text_tokens = full_map_layer_norm(text_tokens)
         text_tokens = text_tokens / (
             jnp.linalg.norm(text_tokens, axis=-1, keepdims=True) + 1e-7
@@ -148,4 +201,105 @@ class ZUTIS(nn.Module):
         return {
             "mask_proposals": mask_proposals.astype(jnp.float32),
             "patch_tokens": text_tokens.astype(jnp.float32),
+        }
+
+    def forward_padded(
+        self,
+        x: jnp.ndarray,  # [b, 3, H_pad, W_pad]
+        native_grid: jnp.ndarray,  # [b, 2] native token grids (H//p, W//p)
+        inference: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        """Batched variable-resolution forward for the bucketed evaluator
+        (engine/batched_eval.py). One static program per bucket shape; each
+        sample's valid output window equals (up to fp reassociation) what
+        `__call__` computes at that sample's native resolution:
+
+          - encoder: per-sample pos-emb interpolation + key-masked attention
+            (models/vit.py:forward_padded); exact because ViT patches are
+            non-overlapping, so padding pixels never reach valid tokens.
+          - the x2 token upsample sees an edge-replicated grid
+            (ops/dynamic_shapes.py:replicate_edges), reproducing the native
+            program's clamped border taps.
+          - decoder memory: per-sample sine pos-emb normalised by the native
+            extent + memory key mask.
+          - text-space projection: masked full-map LayerNorm.
+
+        ViT-family only — RN convolutions are overlapping, so padding leaks
+        into boundary features; the evaluator falls back to per-image eval
+        for RN architectures.
+
+        Returns forward outputs plus "valid" [b, h, w] and "native_grid"
+        [b, 2] (post-upsample) for downstream decode."""
+        assert self.encoder_family != "rn", (
+            "forward_padded is exact only for non-overlapping patch "
+            "embeddings (ViT); evaluate RN models per-image"
+        )
+        from zutis_tpu.ops.dynamic_shapes import (
+            replicate_edges,
+            sine_pos_embed_dynamic,
+            token_valid_mask,
+        )
+
+        b = x.shape[0]
+        patch_tokens, _ = self.encoder.forward_padded(x, native_grid)
+        hp = x.shape[-2] // self.patch_size
+        wp = x.shape[-1] // self.patch_size
+
+        grid = patch_tokens.reshape(b, hp, wp, self.width)
+        grid = replicate_edges(grid, native_grid)
+        if self.upsample_tokens:
+            nchw = grid.transpose(0, 3, 1, 2)
+            nchw = interpolate(nchw, scale_factor=2, mode="bilinear")
+            grid = nchw.transpose(0, 2, 3, 1)
+            hp, wp = hp * 2, wp * 2
+            native_grid = native_grid * 2
+        patch_tokens = grid.reshape(b, hp * wp, self.width)
+        valid = token_valid_mask(native_grid, hp, wp)  # [b, hp*wp]
+
+        tokens_in = (
+            jax.lax.stop_gradient(patch_tokens)
+            if self.stop_gradient else patch_tokens
+        )
+        memory = self.ffn1(tokens_in)
+
+        pos = sine_pos_embed_dynamic(
+            hp, wp, self.width // 2, native_grid
+        ).astype(self.dtype)
+
+        query_pos = jnp.broadcast_to(
+            self.query_embed.astype(self.dtype)[None],
+            (b, self.n_queries, self.width),
+        )
+        tgt = jnp.zeros_like(query_pos)
+        queries = self.decoder(
+            tgt, memory, pos=pos, query_pos=query_pos, memory_mask=valid
+        )
+        if inference:
+            queries = queries[-1:]
+        queries = queries.transpose(1, 0, 2, 3)
+        queries = self.ffn2(queries)
+        queries = queries / jnp.linalg.norm(queries, axis=-1, keepdims=True)
+
+        memory_grid = memory.reshape(b, hp, wp, self.width)
+        logits = jnp.einsum(
+            "blqc,bhwc->blqhw", queries, memory_grid,
+            preferred_element_type=jnp.float32,
+        )
+        mask_proposals = nn.sigmoid(logits)
+
+        token_grid = patch_tokens.reshape(b, hp, wp, self.width)
+        text_tokens = jnp.einsum(
+            "bhwn,nc->bhwc", token_grid, self.encoder.proj.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        valid_grid = valid.reshape(b, hp, wp)
+        text_tokens = masked_full_map_layer_norm(text_tokens, valid_grid)
+        text_tokens = text_tokens / (
+            jnp.linalg.norm(text_tokens, axis=-1, keepdims=True) + 1e-7
+        )
+        return {
+            "mask_proposals": mask_proposals.astype(jnp.float32),
+            "patch_tokens": text_tokens.astype(jnp.float32),
+            "valid": valid_grid,
+            "native_grid": native_grid,
         }

@@ -2,13 +2,24 @@
 
 One entry point, `dot_product_attention`, with selectable implementations:
   - "xla":    jnp einsum softmax attention (XLA fuses this well on TPU).
-  - "pallas": fused FlashAttention-style Pallas kernel for long sequences
-              (dense high-res inference; see ops/flash_attention.py).
+  - "pallas": fused FlashAttention-style Pallas kernel (ops/flash_attention.py)
+              — avoids materialising the [b, h, sq, sk] logits in HBM.
+  - "auto":   resolves via the ZUTIS_TPU_ATTN env var ("pallas"/"xla");
+              defaults to xla. Rationale: the current axon-tunnelled TPU
+              runtime non-deterministically wedges on Pallas dispatches of
+              ANY kernel (jax's own pallas flash_attention included — see
+              bench.py's fast-path watchdog), so the fused kernel is opt-in
+              rather than the silent default. Falls back to xla whenever a
+              dense additive `bias` is supplied (the kernel supports only
+              key-validity masks, which is all the models need).
 
 Softmax statistics always accumulate in float32 regardless of the compute
 dtype (bf16 activations on TPU).
 """
 from __future__ import annotations
+
+import os
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -18,13 +29,22 @@ def dot_product_attention(
     q: jnp.ndarray,  # [b, h, sq, d]
     k: jnp.ndarray,  # [b, h, sk, d]
     v: jnp.ndarray,  # [b, h, sk, d]
-    bias: jnp.ndarray | None = None,  # broadcastable to [b, h, sq, sk]
-    impl: str = "xla",
+    bias: Optional[jnp.ndarray] = None,  # broadcastable to [b, h, sq, sk]
+    kv_mask: Optional[jnp.ndarray] = None,  # [b, sk] valid-key mask
+    impl: str = "auto",
 ) -> jnp.ndarray:
+    if impl == "auto":
+        pref = os.environ.get("ZUTIS_TPU_ATTN", "xla")
+        impl = (
+            "pallas"
+            if pref == "pallas" and bias is None
+            and jax.default_backend() == "tpu"
+            else "xla"
+        )
     if impl == "pallas":
         from zutis_tpu.ops.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, bias=bias)
+        return flash_attention(q, k, v, kv_mask=kv_mask)
     scale = q.shape[-1] ** -0.5
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
@@ -32,5 +52,7 @@ def dot_product_attention(
     logits = logits * scale
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
+    if kv_mask is not None:
+        logits = jnp.where(kv_mask[:, None, None, :] > 0, logits, -1e30)
     weights = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v.dtype), v)

@@ -1,0 +1,108 @@
+"""Bucketed batched evaluation == per-image evaluation (SURVEY.md section 7
+hard part 2; VERDICT round-1 item 2).
+
+A tiny ViT ZUTIS runs three images of different native resolutions (a) one
+at a time at native shape — the reference's evaluation regime
+(trainer.py:294-375) — and (b) padded together into one bucket through
+`forward_padded` + the batched decode steps. Outputs on each valid window
+must agree."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from zutis_tpu.engine import batched_eval as BE
+from zutis_tpu.models.zutis import ZUTIS
+from zutis_tpu.postproc import predict_instances_device, predict_semantic
+
+SIZES = [(48, 48), (32, 48), (37, 33)]  # (H, W) native pixel sizes
+BUCKET = (48, 48)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = ZUTIS(width=32, encoder_layers=2, encoder_heads=2, patch_size=16,
+                  text_dim=16, n_queries=8, n_decoder_layers=2, n_heads=2,
+                  input_resolution=32)
+    rng = np.random.RandomState(0)
+    imgs = [rng.randn(3, h, w).astype(np.float32) for h, w in SIZES]
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(imgs[0][None])
+    )["params"]
+    text = rng.randn(5, 16).astype(np.float32)
+    text /= np.linalg.norm(text, axis=1, keepdims=True)
+    return model, params, imgs, jnp.asarray(text)
+
+
+def _padded_inputs(imgs):
+    padded, native_grid, native_pixels = BE.pad_batch(
+        imgs, BUCKET, batch_size=len(imgs), patch_size=16)
+    return (jnp.asarray(padded), jnp.asarray(native_grid),
+            jnp.asarray(native_pixels))
+
+
+def test_forward_padded_matches_per_image(setup):
+    model, params, imgs, text = setup
+    padded, native_grid, native_pixels = _padded_inputs(imgs)
+    out_b = model.apply({"params": params}, padded, native_grid,
+                        method=ZUTIS.forward_padded)
+    for i, img in enumerate(imgs):
+        out_1 = model.apply({"params": params}, jnp.asarray(img[None]),
+                            inference=True)
+        h, w = np.asarray(out_b["native_grid"][i])
+        np.testing.assert_allclose(
+            np.asarray(out_b["patch_tokens"])[i, :h, :w],
+            np.asarray(out_1["patch_tokens"])[0], atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_b["mask_proposals"])[i, -1, :, :h, :w],
+            np.asarray(out_1["mask_proposals"])[0, -1], atol=2e-4,
+        )
+
+
+def test_semantic_step_matches_per_image(setup):
+    model, params, imgs, text = setup
+    padded, native_grid, native_pixels = _padded_inputs(imgs)
+    step = BE.make_semantic_step(model, text, BUCKET)
+    sem_b = np.asarray(step(params, padded, native_grid, native_pixels))
+    for i, (img, (H, W)) in enumerate(zip(imgs, SIZES)):
+        out_1 = model.apply({"params": params}, jnp.asarray(img[None]),
+                            inference=True)
+        sem_1 = np.asarray(predict_semantic(
+            out_1["patch_tokens"], text, size=(H, W)))[0]
+        np.testing.assert_array_equal(sem_b[i, :H, :W], sem_1)
+
+
+def test_instance_step_matches_per_image(setup):
+    model, params, imgs, text = setup
+    padded, native_grid, native_pixels = _padded_inputs(imgs)
+    step = BE.make_instance_step(model, text, BUCKET, threshold=0.4)
+    out_b = {k: np.asarray(v) for k, v in step(
+        params, padded, native_grid, native_pixels).items()}
+    for i, (img, (H, W)) in enumerate(zip(imgs, SIZES)):
+        out_1 = model.apply({"params": params}, jnp.asarray(img[None]),
+                            inference=True)
+        dev = predict_instances_device(
+            out_1["mask_proposals"], out_1["patch_tokens"], text,
+            size=(H, W), threshold=0.4)
+        np.testing.assert_array_equal(
+            out_b["keep"][i], np.asarray(dev["keep"])[0])
+        np.testing.assert_array_equal(
+            out_b["category_ids"][i], np.asarray(dev["category_ids"])[0])
+        np.testing.assert_allclose(
+            out_b["scores"][i], np.asarray(dev["scores"])[0], atol=1e-4)
+        np.testing.assert_array_equal(
+            out_b["masks"][i, :, :H, :W], np.asarray(dev["masks"])[0])
+        assert not out_b["masks"][i, :, H:, :].any()
+        assert not out_b["masks"][i, :, :, W:].any()
+
+
+def test_bucketing_helpers():
+    sizes = [(480, 640), (500, 600), (375, 500), (129, 129)]
+    buckets = BE.group_into_buckets(sizes, quantum=128)
+    assert buckets[(512, 640)] == [0, 1]
+    assert buckets[(384, 512)] == [2]
+    assert buckets[(256, 256)] == [3]
+    batches = list(BE.iter_bucketed_batches(buckets, batch_size=1))
+    assert len(batches) == 4

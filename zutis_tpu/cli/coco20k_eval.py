@@ -5,8 +5,12 @@ per-image instance prediction (threshold -> classify -> hard NMS) over the
 19,817 COCO-20K images at native resolution, score with COCO mask AP/AR
 (maxDets 1/10/100), write coco20k_metrics_*.json.
 
-TPU-native: forward + decode + NMS run jitted on device per image; a
-`--batch_images` path groups same-shape images for throughput.
+TPU-native: forward + decode + NMS run jitted on device. `--batch_images N`
+(default 8) evaluates through the bucketed batched path — images padded into
+quantised resolution buckets, one compiled program per bucket
+(engine/batched_eval.py) — and reports eval images/sec; `--batch_images 1`
+reproduces the reference's per-image regime. RN-family archs always run
+per-image (padding would leak through overlapping convs).
 """
 from __future__ import annotations
 
@@ -26,7 +30,10 @@ def main(argv=None):
     parser.add_argument("--nms_type", type=str, default="hard")
     parser.add_argument("--suffix", type=str, default="")
     parser.add_argument("--max_images", type=int, default=None)
+    parser.add_argument("--batch_images", type=int, default=8)
     args = parser.parse_args(argv)
+
+    import time
 
     import jax
     import jax.numpy as jnp
@@ -59,32 +66,85 @@ def main(argv=None):
         image_ids = image_ids[:args.max_images]
 
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    model = build_zutis(cfg.clip_arch, dtype=dtype)
+    model_kwargs = cfg.extras.get("model_kwargs")
+    if model_kwargs:
+        # explicit architecture override (tiny models in tests/CI)
+        from zutis_tpu.models.zutis import ZUTIS
+
+        model = ZUTIS(dtype=dtype, **model_kwargs)
+    else:
+        model = build_zutis(cfg.clip_arch, dtype=dtype)
     params = load_params_any(args.p_state_dict)
     text_embeddings = build_text_embeddings(cfg, dtype)
 
-    @jax.jit
-    def forward(p, image):
-        return model.apply({"params": p}, image)
-
-    predictions = []
-    for image_id in image_ids:
+    def load_image(image_id):
         info = coco.load_img(image_id)
         p_image = f"{args.dir_dataset}/train2014/{info['file_name']}"
-        pil = Image.open(p_image).convert("RGB")
-        image = jnp.asarray(normalize_image(pil))[None]
-        H, W = image.shape[-2:]
-        out = forward(params, image)
-        dev = predict_instances_device(
-            out["mask_proposals"], out["patch_tokens"], text_embeddings,
-            size=(int(H), int(W)), threshold=args.threshold,
-            nms_type=args.nms_type,
-        )
-        predictions.extend(instances_to_coco(
-            {k: np.asarray(v) for k, v in dev.items()},
-            image_ids=[image_id],
-            new_label_id_to_old_label_id=new_label_id_to_old_label_id,
-        ))
+        return normalize_image(Image.open(p_image).convert("RGB"))
+
+    predictions = []
+    t0 = time.time()
+    use_batched = (
+        args.batch_images > 1
+        and getattr(model, "encoder_family", "vit") != "rn"
+    )
+    if use_batched:
+        from zutis_tpu.engine import batched_eval as BE
+
+        steps, pending = {}, {}
+
+        def flush(shape, items):
+            images = [img for _, img in items]
+            padded, native_grid, native_pixels = BE.pad_batch(
+                images, shape, args.batch_images, model.patch_size)
+            if shape not in steps:
+                steps[shape] = BE.make_instance_step(
+                    model, text_embeddings, shape,
+                    threshold=args.threshold, nms_type=args.nms_type)
+            res = {k: np.asarray(v) for k, v in steps[shape](
+                params, jnp.asarray(padded), jnp.asarray(native_grid),
+                jnp.asarray(native_pixels)).items()}
+            for j, (image_id, img) in enumerate(items):
+                H, W = img.shape[-2:]
+                predictions.extend(instances_to_coco(
+                    {
+                        "masks": res["masks"][j:j + 1, :, :H, :W],
+                        "scores": res["scores"][j:j + 1],
+                        "category_ids": res["category_ids"][j:j + 1],
+                        "keep": res["keep"][j:j + 1],
+                    },
+                    image_ids=[image_id],
+                    new_label_id_to_old_label_id=new_label_id_to_old_label_id,
+                ))
+
+        for image_id in image_ids:
+            img = load_image(image_id)
+            shape = BE.bucket_shape(*img.shape[-2:])
+            pending.setdefault(shape, []).append((image_id, img))
+            if len(pending[shape]) == args.batch_images:
+                flush(shape, pending.pop(shape))
+        for shape, items in pending.items():
+            flush(shape, items)
+    else:
+        @jax.jit
+        def forward(p, image):
+            return model.apply({"params": p}, image)
+
+        for image_id in image_ids:
+            image = jnp.asarray(load_image(image_id))[None]
+            H, W = image.shape[-2:]
+            out = forward(params, image)
+            dev = predict_instances_device(
+                out["mask_proposals"], out["patch_tokens"], text_embeddings,
+                size=(int(H), int(W)), threshold=args.threshold,
+                nms_type=args.nms_type,
+            )
+            predictions.extend(instances_to_coco(
+                {k: np.asarray(v) for k, v in dev.items()},
+                image_ids=[image_id],
+                new_label_id_to_old_label_id=new_label_id_to_old_label_id,
+            ))
+    eval_seconds = time.time() - t0
 
     with open(p_gt) as f:
         gt = json.load(f)
@@ -98,6 +158,9 @@ def main(argv=None):
         "AR_100": stats["AR_maxDets_100"],
         "AR_small": stats["AR_small"], "AR_medium": stats["AR_medium"],
         "AR_large": stats["AR_large"],
+        "eval_images_per_sec": (
+            len(image_ids) / eval_seconds if eval_seconds > 0 else 0.0
+        ),
     }
     suffix = f"_{args.suffix}" if args.suffix else ""
     fp = (f"{dir_ckpt}/coco20k_metrics_{arch_tag}"

@@ -114,7 +114,7 @@ class COCOEvaluator:
                       max_det: int) -> Dict:
         T = len(self.iou_thrs)
         dts = sorted(dts, key=lambda d: -d["score"])[:max_det]
-        g_crowd = np.array([bool(g.get("iscrowd", 0)) for g in gts])
+        g_crowd = np.array([bool(g.get("iscrowd", 0)) for g in gts], dtype=bool)
         # crowd (always-ignored) GTs sort last
         g_order = np.argsort(g_crowd, kind="stable")
         gts = [gts[i] for i in g_order]

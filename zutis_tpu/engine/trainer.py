@@ -147,19 +147,55 @@ class Trainer:
         num_iter: Optional[int] = None,
         iter_eval: Optional[int] = None,
         max_images: Optional[int] = None,
+        batch_images: int = 8,
     ) -> Dict[str, float]:
+        """Evaluation with bucketed batching by default (SURVEY.md section 7
+        hard part 2): images are padded into quantised resolution buckets and
+        run through `ZUTIS.forward_padded`, so a full COCO sweep compiles a
+        handful of programs instead of one per image shape. RN-family models
+        (overlapping convs — padding would leak) and `batch_images<=1` use
+        the reference's per-image regime (trainer.py:294-375)."""
         params = getattr(state_or_params, "params", state_or_params)
         dataset_name = dataset.name
         n_categories = dataset.n_categories
         metric_meter = RunningScore(n_categories)
         instance_predictions = []
+        n = len(dataset) if max_images is None else min(max_images,
+                                                        len(dataset))
+        t_eval = time.time()
+        use_batched = (
+            batch_images > 1
+            and getattr(self.model, "encoder_family", "vit") != "rn"
+            and not self.debug
+        )
+        if use_batched:
+            n_images = self._evaluate_batched(
+                params, dataset, n, dataset_name, metric_meter,
+                instance_predictions, batch_images,
+            )
+        else:
+            n_images = self._evaluate_per_image(
+                params, dataset, n, dataset_name, metric_meter,
+                instance_predictions,
+            )
+        eval_seconds = time.time() - t_eval
+        scores, cls_iu = metric_meter.get_scores()
+        scores["eval_images_per_sec"] = (
+            n_images / eval_seconds if eval_seconds > 0 else 0.0
+        )
+        return self._finish_evaluate(
+            scores, cls_iu, dataset, dataset_name, instance_predictions,
+            num_iter, iter_eval,
+        )
 
+    def _evaluate_per_image(
+        self, params, dataset, n, dataset_name, metric_meter,
+        instance_predictions,
+    ) -> int:
         @jax.jit
         def forward(p, image):
             return self.model.apply({"params": p}, image)
 
-        n = len(dataset) if max_images is None else min(max_images,
-                                                        len(dataset))
         for i in range(n):
             sample = dataset[i]
             image = jnp.asarray(sample["image"])[None]
@@ -190,9 +226,90 @@ class Trainer:
             if "semantic_mask" in sample:
                 metric_meter.update(sample["semantic_mask"][None], sem_pred)
             if self.debug:
-                break
+                return i + 1
+        return n
 
-        scores, cls_iu = metric_meter.get_scores()
+    def _evaluate_batched(
+        self, params, dataset, n, dataset_name, metric_meter,
+        instance_predictions, batch_images,
+    ) -> int:
+        """Single-pass greedy bucketing: samples accumulate per (input
+        bucket, output bucket) key and flush as full batches; each distinct
+        key compiles one program (engine/batched_eval.py)."""
+        from zutis_tpu.engine import batched_eval as BE
+
+        patch = self.model.patch_size
+        want_instances = dataset_name == "coco2017"
+        steps: Dict = {}
+        pending: Dict = {}
+
+        def flush(key, items):
+            (in_shape, out_shape) = key
+            images = [s["image"] for s in items]
+            padded, native_grid, native_pixels = BE.pad_batch(
+                images, in_shape, batch_images, patch)
+            # output extent: original size for imagenet-s, native otherwise
+            out_pixels = np.ones((batch_images, 2), np.int32)
+            for j in range(batch_images):
+                s = items[j] if j < len(items) else items[0]
+                out_pixels[j] = self._target_hw(s, dataset_name)
+            if key not in steps:
+                maker = (BE.make_instance_step if want_instances
+                         else BE.make_semantic_step)
+                steps[key] = maker(self.model, self.text_embeddings,
+                                   out_shape)
+            result = steps[key](
+                params, jnp.asarray(padded), jnp.asarray(native_grid),
+                jnp.asarray(out_pixels),
+            )
+            if want_instances:
+                result = {k: np.asarray(v) for k, v in result.items()}
+                sem = result["semantic"]
+            else:
+                sem = np.asarray(result)
+            for j, s in enumerate(items):
+                H, W = self._target_hw(s, dataset_name)
+                if "semantic_mask" in s:
+                    metric_meter.update(
+                        s["semantic_mask"][None], sem[j, :H, :W][None])
+                if want_instances:
+                    preds = instances_to_coco(
+                        {
+                            "masks": result["masks"][j:j + 1, :, :H, :W],
+                            "scores": result["scores"][j:j + 1],
+                            "category_ids": result["category_ids"][j:j + 1],
+                            "keep": result["keep"][j:j + 1],
+                        },
+                        image_ids=[s["image_id"]],
+                        new_label_id_to_old_label_id=(
+                            new_label_id_to_old_label_id),
+                    )
+                    instance_predictions.extend(preds)
+
+        for i in range(n):
+            sample = dataset[i]
+            h, w = sample["image"].shape[-2:]
+            in_shape = BE.bucket_shape(h, w)
+            out_shape = BE.bucket_shape(*self._target_hw(sample, dataset_name))
+            key = (in_shape, out_shape)
+            pending.setdefault(key, []).append(sample)
+            if len(pending[key]) == batch_images:
+                flush(key, pending.pop(key))
+        for key, items in pending.items():
+            flush(key, items)
+        return n
+
+    @staticmethod
+    def _target_hw(sample, dataset_name):
+        if "imagenet-s" in dataset_name:
+            return int(sample["original_size"][0]), int(
+                sample["original_size"][1])
+        return int(sample["image"].shape[-2]), int(sample["image"].shape[-1])
+
+    def _finish_evaluate(
+        self, scores, cls_iu, dataset, dataset_name, instance_predictions,
+        num_iter, iter_eval,
+    ) -> Dict[str, float]:
         if self.dir_ckpt is not None:
             record = {"num_iter": num_iter, "timestamp": str(datetime.now())}
             record.update(scores)

@@ -88,6 +88,10 @@ class CLIPViT(nn.Module):
             kernel_size=(self.patch_size, self.patch_size),
             strides=(self.patch_size, self.patch_size),
             use_bias=False,
+            # VALID, not flax's SAME default: torch's patchify conv has no
+            # padding, so partial trailing patches are DROPPED at non-multiple
+            # resolutions (reference clip_arch.py:345-351 at e.g. 37x33)
+            padding="VALID",
             dtype=self.dtype,
             param_dtype=jnp.float32,
         )

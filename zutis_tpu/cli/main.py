@@ -179,7 +179,6 @@ def main(argv=None):
         seed=args.seed,
     )
     batch_size = cfg.train_dataloader_kwargs.get("batch_size", 8)
-    batches = batch_iterator(dataset, batch_size, seed=args.seed)
 
     # initialise params, encoder from pretrained CLIP unless told otherwise
     init_x = jnp.zeros((1, 3, cfg.train_image_size, cfg.train_image_size))
@@ -194,6 +193,19 @@ def main(argv=None):
     tx = make_optimizer(base_lr=5e-5, n_iters=cfg.n_iters)
     state = TrainState.create(params, tx)
 
+    # preemption resume: restore the newest full-state checkpoint and
+    # fast-forward the deterministic (seed, step) batch pipeline to it
+    from zutis_tpu.core.checkpoint import latest_step_dir, restore_train_state
+
+    ckpt_base = os.path.join(dir_ckpt, "checkpoints")
+    resume_dir = latest_step_dir(ckpt_base)
+    if resume_dir is not None:
+        state = restore_train_state(resume_dir, state)
+        print(f"resumed train state from {resume_dir} "
+              f"(step {int(state.step)})")
+    batches = batch_iterator(dataset, batch_size, seed=args.seed,
+                             start_step=int(state.step))
+
     trainer.fit(
         state, tx, batches, n_iters=cfg.n_iters,
         n_categories=val_dataset.n_categories,
@@ -201,6 +213,8 @@ def main(argv=None):
         weight_ce_loss=args.weight_ce_loss,
         iter_eval=cfg.iter_eval, iter_log=cfg.iter_log,
         val_dataset=val_dataset,
+        checkpoint_every=cfg.checkpoint_every or None,
+        checkpoint_dir=ckpt_base,
     )
 
 

@@ -84,7 +84,15 @@ class Trainer:
         iter_log: Optional[int] = None,
         val_dataset=None,
         eval_every_cb=None,
+        checkpoint_every: Optional[int] = None,
+        checkpoint_dir: Optional[str] = None,
     ) -> TrainState:
+        """`checkpoint_every` > 0 saves the FULL TrainState (params +
+        optimiser moments + step) to `checkpoint_dir`/step_<N> via orbax —
+        combined with the deterministic (seed, step) batch pipeline this
+        resumes bit-exactly after preemption (tests/test_checkpoint_resume.py;
+        the reference can only restart from bare weights, trainer.py:246).
+        `batches` must already be positioned at `state.step` when resuming."""
         step_fn = make_train_step(
             self.model, tx, self.text_embeddings, n_categories,
             ignore_index=ignore_index, weight_ce_loss=weight_ce_loss,
@@ -93,7 +101,8 @@ class Trainer:
         metric_meter = RunningScore(n_categories)
         it = iter(batches)
         t_start = time.time()
-        for num_iter in range(1, n_iters + 1):
+        start_iter = int(state.step)
+        for num_iter in range(start_iter + 1, n_iters + 1):
             batch = next(it)
             state, metrics = step_fn(state, batch)
             loss = float(metrics["loss"])
@@ -128,9 +137,20 @@ class Trainer:
                 and val_dataset is not None
                 and getattr(val_dataset, "name", "") != "imagenet-s919"
             ):
-                self.evaluate(state, val_dataset, num_iter=num_iter,
-                              iter_eval=iter_eval)
+                scores = self.evaluate(state, val_dataset, num_iter=num_iter,
+                                       iter_eval=iter_eval)
                 self.save_checkpoint(state, "latest_model")
+                miou = scores.get("Mean IoU", float("nan"))
+                if np.isfinite(miou) and miou >= self.best_miou:
+                    self.save_checkpoint(state, "best_model")
+            if checkpoint_every and checkpoint_dir and (
+                num_iter % checkpoint_every == 0
+            ):
+                from zutis_tpu.core.checkpoint import save_train_state
+
+                save_train_state(
+                    os.path.join(checkpoint_dir, f"step_{num_iter}"), state
+                )
             if eval_every_cb is not None:
                 eval_every_cb(num_iter, state)
             if self.debug:

@@ -33,9 +33,11 @@ class Config:
     p_filename_to_image_embedding: List[str] = field(default_factory=list)
     dir_val_dataset: str = ""
 
-    # categories
+    # categories — either the reference's inline list, or (shipped configs)
+    # a preset name from data/category_lists.py
     n_categories: int = 0
     categories: List[str] = field(default_factory=list)
+    categories_preset: str = ""
     category_to_p_images_fp: str = ""
     n_images: int = 500
 
@@ -91,6 +93,10 @@ class Config:
         cfg.extras = extras
         if isinstance(cfg.scale_range, list):
             cfg.scale_range = tuple(cfg.scale_range)
+        if cfg.categories_preset and not cfg.categories:
+            from zutis_tpu.data.category_lists import CATEGORY_PRESETS
+
+            cfg.categories = list(CATEGORY_PRESETS[cfg.categories_preset])
         return cfg
 
     def to_json(self, path: str) -> None:

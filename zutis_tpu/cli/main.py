@@ -168,16 +168,33 @@ def main(argv=None):
         p: pseudo_mask_path(dir_pseudo, p) for p in all_images
     }
 
-    dataset = IndexDataset(
-        categories=cfg.categories,
-        category_to_p_images=category_to_p_images,
-        p_image_to_p_pseudo_mask=p_image_to_p_pseudo_mask,
-        image_size=cfg.train_image_size,
-        ignore_index=cfg.ignore_index,
-        scale_range=cfg.scale_range,
-        random_duplicate=cfg.random_duplicate,
-        seed=args.seed,
-    )
+    if cfg.index_dataset_name == "imagenet":
+        # ImageNet-only variant (reference datasets/imagenet.py): its own
+        # pseudo-mask layout, no random scaling, optional grid paste mode
+        from zutis_tpu.data.imagenet_index import ImageNet1KDataset
+
+        dataset = ImageNet1KDataset(
+            dir_dataset=cfg.dir_train_dataset[0],
+            categories=cfg.categories,
+            ignore_index=cfg.ignore_index,
+            category_to_p_images_fp=cfg.category_to_p_images_fp,
+            n_images=cfg.n_images,
+            image_size=cfg.train_image_size,
+            use_advanced_copy_paste=cfg.use_advanced_copy_paste,
+            seed=args.seed,
+        )
+    else:
+        dataset = IndexDataset(
+            categories=cfg.categories,
+            category_to_p_images=category_to_p_images,
+            p_image_to_p_pseudo_mask=p_image_to_p_pseudo_mask,
+            image_size=cfg.train_image_size,
+            ignore_index=cfg.ignore_index,
+            scale_range=cfg.scale_range,
+            random_duplicate=cfg.random_duplicate,
+            seed=args.seed,
+            use_advanced_copy_paste=cfg.use_advanced_copy_paste,
+        )
     batch_size = cfg.train_dataloader_kwargs.get("batch_size", 8)
 
     # initialise params, encoder from pretrained CLIP unless told otherwise

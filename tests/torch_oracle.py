@@ -234,6 +234,96 @@ class TorchModifiedResNet(nn.Module):
         return out
 
 
+class TorchDeiTBlock(nn.Module):
+    """timm/DINO pre-norm ViT block: fused qkv attention + GELU MLP
+    (reference networks/selfmask/vision_transformer.py:97-180 semantics)."""
+
+    def __init__(self, dim, heads, mlp_ratio=4):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim)
+        self.norm2 = nn.LayerNorm(dim)
+        self.attn = nn.Module()
+        self.attn.qkv = nn.Linear(dim, dim * 3)
+        self.attn.proj = nn.Linear(dim, dim)
+        self.mlp = nn.Module()
+        self.mlp.fc1 = nn.Linear(dim, dim * mlp_ratio)
+        self.mlp.fc2 = nn.Linear(dim * mlp_ratio, dim)
+        self.heads = heads
+
+    def forward(self, x):  # [b, n, d]
+        b, n, d = x.shape
+        h = self.heads
+        y = self.norm1(x)
+        qkv = self.attn.qkv(y).reshape(b, n, 3, h, d // h)
+        q, k, v = qkv.permute(2, 0, 3, 1, 4)
+        w = (q @ k.transpose(-2, -1)) * (d // h) ** -0.5
+        w = w.softmax(dim=-1)
+        y = (w @ v).transpose(1, 2).reshape(b, n, d)
+        x = x + self.attn.proj(y)
+        y = self.norm2(x)
+        return x + self.mlp.fc2(F.gelu(self.mlp.fc1(y)))
+
+
+class TorchSelfMask(nn.Module):
+    """Reference SelfMask semantics on a small config: DeiT encoder (last
+    layer, post-norm, CLS dropped), DETR decoder with NO memory pos-emb,
+    mask = sigmoid(queries . x2-upsampled tokens), objectness = 3-layer MLP
+    (reference networks/selfmask/selfmask.py:137-245, state-dict layout of
+    selfmask_nq20.pt)."""
+
+    def __init__(self, dim=32, heads=2, depth=2, patch=8, grid=4,
+                 n_queries=5, dec_layers=2):
+        super().__init__()
+        self.patch = patch
+        self.encoder = nn.Module()
+        self.encoder.patch_embed = nn.Module()
+        self.encoder.patch_embed.proj = nn.Conv2d(3, dim, patch, patch)
+        self.encoder.cls_token = nn.Parameter(torch.zeros(1, 1, dim))
+        self.encoder.pos_embed = nn.Parameter(
+            0.02 * torch.randn(1, grid * grid + 1, dim))
+        self.encoder.blocks = nn.ModuleList(
+            [TorchDeiTBlock(dim, heads) for _ in range(depth)])
+        self.encoder.norm = nn.LayerNorm(dim)
+        self.decoder = TorchQueryDecoder(dim, heads, dec_layers, ff=dim * 4)
+        self.query_embed = nn.Parameter(torch.randn(n_queries, dim))
+        self.ffn = nn.Module()
+        self.ffn.layers = nn.ModuleList(
+            [nn.Linear(dim, dim), nn.Linear(dim, dim), nn.Linear(dim, 1)])
+
+    def forward(self, x):  # [b, 3, H, W], H/W patch multiples
+        b = x.shape[0]
+        t = self.encoder.patch_embed.proj(x)
+        _, d, h, w = t.shape
+        tokens = t.flatten(2).permute(0, 2, 1)
+        cls = self.encoder.cls_token.expand(b, 1, d)
+        tokens = torch.cat([cls, tokens], dim=1)
+        pe = TorchCLIPViT.interp_pos(self.encoder.pos_embed[0], (h, w))
+        tokens = tokens + pe[None]
+        for blk in self.encoder.blocks:
+            tokens = blk(tokens)
+        tokens = self.encoder.norm(tokens)
+        patch_tokens = tokens[:, 1:, :]  # [b, hw, d]
+
+        def t_(z):
+            return z.permute(1, 0, 2)
+
+        qp = self.query_embed[:, None, :].expand(-1, b, -1).permute(1, 0, 2)
+        queries = self.decoder(
+            t_(torch.zeros_like(qp)), t_(patch_tokens),
+            torch.zeros(patch_tokens.shape[1], b, d), t_(qp))[-1]
+        queries = queries.permute(1, 0, 2)  # [b, Q, d]
+
+        grid = patch_tokens.permute(0, 2, 1).reshape(b, d, h, w)
+        grid = F.interpolate(grid, scale_factor=2, mode="bilinear")
+        mask_pred = torch.sigmoid(
+            torch.einsum("bqn,bnhw->bqhw", queries, grid))
+        obj = queries
+        for i, lin in enumerate(self.ffn.layers):
+            obj = lin(obj)
+            if i < 2:
+                obj = F.relu(obj)
+        return mask_pred, obj[..., 0]
+
 def torch_sine_pos_embed(h, w, npf, temperature=10000.0):
     """Reference PositionEmbeddingSine with normalize=True, no mask."""
     ones = torch.ones(1, h, w)

@@ -100,12 +100,15 @@ class SelfMask(nn.Module):
     embed_dim: int = 384
     heads: int = 6
     scale_factor: int = 2
+    base_grid: int = 28  # grid of the stored pos-emb (224 / patch 8)
+    depth: int = 12
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.encoder = DeiTEncoder(
-            embed_dim=self.embed_dim, heads=self.heads,
-            patch_size=self.patch_size, dtype=self.dtype, name="encoder")
+            embed_dim=self.embed_dim, heads=self.heads, depth=self.depth,
+            patch_size=self.patch_size, base_grid=self.base_grid,
+            dtype=self.dtype, name="encoder")
         self.decoder = QueryDecoder(
             d_model=self.embed_dim, heads=self.heads,
             num_layers=self.n_decoder_layers,

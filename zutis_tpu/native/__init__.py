@@ -1,0 +1,117 @@
+"""Native (C++) runtime pieces, loaded via ctypes.
+
+The reference leans on pycocotools' C maskApi for RLE at every dataset/eval
+boundary (SURVEY.md section 2.3). Here `native/rle.cc` is the C++ codec —
+built on demand with g++ into librle.so next to this file and exposed
+through ctypes (no pybind11 in the image). ops/rle.py uses it when available
+and keeps the numpy implementation as reference/fallback; the two
+implementations cross-validate in tests/test_rle_native.py.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "rle.cc")
+_LIB = os.path.join(_DIR, "librle.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-o", _LIB, _SRC],
+            check=True, capture_output=True,
+        )
+        return True
+    except (OSError, subprocess.CalledProcessError):
+        return False
+
+
+def load_rle_lib() -> Optional[ctypes.CDLL]:
+    """The C++ RLE codec, building it on first use; None when no toolchain."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB) or (
+        os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+    ):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB)
+    except OSError:
+        return None
+    lib.rle_encode.restype = ctypes.c_int
+    lib.rle_encode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_int,
+    ]
+    lib.rle_decode.restype = ctypes.c_int
+    lib.rle_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.rle_encode_batch.restype = ctypes.c_int
+    lib.rle_encode_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    _lib = lib
+    return _lib
+
+
+def native_encode(mask: np.ndarray) -> Optional[str]:
+    """C++ encode of one [h, w] binary mask -> counts string (None when the
+    native lib is unavailable)."""
+    lib = load_rle_lib()
+    if lib is None:
+        return None
+    m = np.ascontiguousarray(mask.astype(np.uint8))
+    h, w = m.shape
+    cap = 2 * h * w + 64
+    out = ctypes.create_string_buffer(cap)
+    n = lib.rle_encode(
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, out, cap)
+    assert n >= 0, "rle_encode overflow"
+    return out.raw[:n].decode("ascii")
+
+
+def native_decode(counts: str, h: int, w: int) -> Optional[np.ndarray]:
+    lib = load_rle_lib()
+    if lib is None:
+        return None
+    out = np.zeros((h, w), np.uint8)
+    rc = lib.rle_decode(
+        counts.encode("ascii"), len(counts), h, w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    assert rc == 0, "malformed RLE"
+    return out
+
+
+def native_encode_batch(masks: np.ndarray) -> Optional[List[str]]:
+    """C++ batch encode of [n, h, w] masks -> list of counts strings."""
+    lib = load_rle_lib()
+    if lib is None:
+        return None
+    m = np.ascontiguousarray(masks.astype(np.uint8))
+    n, h, w = m.shape
+    cap = 2 * n * h * w + 64 * n
+    out = ctypes.create_string_buffer(cap)
+    offsets = (ctypes.c_int * n)()
+    total = lib.rle_encode_batch(
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, h, w, out, cap,
+        offsets)
+    assert total >= 0, "rle_encode_batch overflow"
+    bounds = list(offsets) + [total]
+    raw = out.raw
+    return [raw[bounds[i]:bounds[i + 1]].decode("ascii") for i in range(n)]

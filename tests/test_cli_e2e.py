@@ -129,6 +129,14 @@ def test_train_then_eval(fixture_dir):
     assert os.path.exists(f"{dt}/eval_metrics.json")
     assert os.path.exists(f"{dt}/eval_coco_style_metrics.json")
     assert os.path.exists(f"{dt}/instance_predictions_00003.json")
+    # visualiser artifacts (reference trainer.py:204-240): triptych, query
+    # grid and matched-pair figures every iter_log
+    for stem in ("semantic", "queries", "matched"):
+        assert os.path.exists(f"{dt}/{stem}_00003.png"), stem
+    # eval throughput is reported (engine/trainer.py)
+    with open(f"{dt}/eval_metrics.json") as f:
+        eval_rec = json.loads(f.read().splitlines()[0])
+    assert eval_rec.get("eval_images_per_sec", 0) > 0
 
     # evaluate from the saved checkpoint
     from zutis_tpu.cli.main import main as main2

@@ -232,6 +232,9 @@ def main(argv=None):
         val_dataset=val_dataset,
         checkpoint_every=cfg.checkpoint_every or None,
         checkpoint_dir=ckpt_base,
+        # the reference renders triptych/query/matched-pair figures every
+        # iter_log (trainer.py:204-240)
+        visualise=bool(cfg.extras.get("visualise", True)),
     )
 
 

@@ -60,6 +60,57 @@ class Trainer:
         self.debug = debug
         self.best_miou = 0.0
 
+    # ---------------- visualisation ----------------
+
+    def _visualise_train(self, params, batch, num_iter: int,
+                         ignore_index: int) -> None:
+        """Reference trainer.py:204-240: every iter_log, save a semantic
+        triptych, the query grid and Hungarian-matched (gt, query) pairs for
+        the first image of the current batch."""
+        import jax.numpy as _jnp
+
+        from zutis_tpu.engine import visualiser as V
+        from zutis_tpu.losses.criterion import bce_cost, dice_cost
+        from zutis_tpu.ops.hungarian import batched_hungarian
+        from zutis_tpu.ops.resize import resize_2d as _resize
+
+        if not hasattr(self, "_vis_forward"):
+            self._vis_forward = jax.jit(
+                lambda p, image: self.model.apply({"params": p}, image))
+        image = batch["image"][:1]
+        out = self._vis_forward(params, _jnp.asarray(image))
+        H, W = np.asarray(image).shape[-2:]
+        logits = jnp.einsum(
+            "nc,bhwc->bnhw", self.text_embeddings, out["patch_tokens"],
+            preferred_element_type=jnp.float32)
+        sem_pred = np.asarray(
+            jnp.argmax(_resize(logits, (H, W), "linear"), axis=1))[0]
+
+        n_cat = self.text_embeddings.shape[0]
+        palette = V.get_palette(n_cat)
+        d = self.dir_ckpt
+        img0 = np.asarray(batch["image"])[0]
+        V.semantic_triptych(
+            img0, np.asarray(batch["semantic_mask"])[0], sem_pred, palette,
+            f"{d}/semantic_{num_iter:05d}.png", ignore_index=ignore_index)
+
+        proposals = np.asarray(out["mask_proposals"])[0, -1]  # [Q, h, w]
+        V.query_grid(proposals, f"{d}/queries_{num_iter:05d}.png")
+
+        gt = np.asarray(batch["instance_masks"])[0]
+        valid = np.asarray(batch["instance_valid"])[0]
+        gt = gt[valid]
+        if gt.shape[0]:
+            up = np.asarray(_resize(
+                _jnp.asarray(proposals[None]), (H, W), "linear"))[0]
+            up = np.clip(up, 0.0, 1.0)
+            dt = _jnp.asarray(up.reshape(1, up.shape[0], H * W))
+            gtf = _jnp.asarray(gt.reshape(1, gt.shape[0], H * W))
+            cost = dice_cost(dt, gtf) + bce_cost(dt, gtf)
+            assignment = np.asarray(batched_hungarian(cost))[0]
+            V.matched_pairs(gt, up, [int(a) for a in assignment],
+                            f"{d}/matched_{num_iter:05d}.png")
+
     # ---------------- checkpointing ----------------
 
     def save_checkpoint(self, state: TrainState, name: str) -> None:
@@ -86,6 +137,7 @@ class Trainer:
         eval_every_cb=None,
         checkpoint_every: Optional[int] = None,
         checkpoint_dir: Optional[str] = None,
+        visualise: bool = False,
     ) -> TrainState:
         """`checkpoint_every` > 0 saves the FULL TrainState (params +
         optimiser moments + step) to `checkpoint_dir`/step_<N> via orbax —
@@ -131,6 +183,9 @@ class Trainer:
                     f"mIoU {scores['Mean IoU']:.3f} "
                     f"pix-acc {scores['Pixel Acc']:.3f}"
                 )
+                if (visualise or self.debug) and self.dir_ckpt is not None:
+                    self._visualise_train(state.params, batch, num_iter,
+                                          ignore_index)
 
             if (
                 (self.debug or (iter_eval and num_iter % iter_eval == 0))

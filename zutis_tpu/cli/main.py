@@ -74,6 +74,9 @@ def main(argv=None):
     parser.add_argument("--weight_ce_loss", type=float, default=1.0)
     parser.add_argument("--suffix", type=str, default="")
     parser.add_argument("--max_eval_images", type=int, default=None)
+    parser.add_argument("--profile_dir", type=str, default="",
+                        help="write a jax.profiler trace of train steps "
+                             "10-20 here (Perfetto/TensorBoard)")
     args = parser.parse_args(argv)
 
     import jax
@@ -235,6 +238,7 @@ def main(argv=None):
         # the reference renders triptych/query/matched-pair figures every
         # iter_log (trainer.py:204-240)
         visualise=bool(cfg.extras.get("visualise", True)),
+        profile_dir=args.profile_dir or None,
     )
 
 

@@ -138,6 +138,8 @@ class Trainer:
         checkpoint_every: Optional[int] = None,
         checkpoint_dir: Optional[str] = None,
         visualise: bool = False,
+        profile_dir: Optional[str] = None,
+        profile_steps: tuple = (10, 20),
     ) -> TrainState:
         """`checkpoint_every` > 0 saves the FULL TrainState (params +
         optimiser moments + step) to `checkpoint_dir`/step_<N> via orbax —
@@ -154,10 +156,22 @@ class Trainer:
         it = iter(batches)
         t_start = time.time()
         start_iter = int(state.step)
+        tracing = False
         for num_iter in range(start_iter + 1, n_iters + 1):
+            if profile_dir and num_iter == profile_steps[0]:
+                jax.profiler.start_trace(profile_dir)
+                tracing = True
             batch = next(it)
             state, metrics = step_fn(state, batch)
             loss = float(metrics["loss"])
+            if not np.isfinite(loss):
+                from zutis_tpu.core.profiling import NonFiniteError
+
+                raise NonFiniteError(
+                    f"non-finite training loss {loss} at step {num_iter}")
+            if tracing and num_iter >= profile_steps[1]:
+                jax.profiler.stop_trace()
+                tracing = False
             loss_meter.update(loss, 1)
             metric_meter.confusion_matrix += np.asarray(metrics["confusion"])
 
@@ -210,6 +224,8 @@ class Trainer:
                 eval_every_cb(num_iter, state)
             if self.debug:
                 break
+        if tracing:
+            jax.profiler.stop_trace()
         self.save_checkpoint(state, "final_model")
         return state
 

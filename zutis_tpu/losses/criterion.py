@@ -150,6 +150,14 @@ def criterion_loss(
         )  # [b, N, Q]
         # padded rows -> constant 0 so they never affect real-row matching
         cost_for_match = jnp.where(instance_valid[..., None], cost, 0.0)
+        # NaN/inf guard: the JV matcher's while_loops never terminate on NaN
+        # costs — a diverged training step must surface as a NaN loss (the
+        # trainer raises on it), not hang the device forever. The matched
+        # cost below still uses the unguarded values, so NaNs propagate to
+        # the loss as they should.
+        cost_for_match = jnp.nan_to_num(
+            cost_for_match, nan=1e6, posinf=1e6, neginf=-1e6
+        )
         col4row = batched_hungarian(
             jax.lax.stop_gradient(cost_for_match)
         )  # [b, N]

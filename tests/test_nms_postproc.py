@@ -1,6 +1,7 @@
 """NMS parity vs a direct transcription of the reference's greedy loop, plus
 metrics tests."""
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -56,6 +57,63 @@ def test_hard_nms_matches_reference():
         # kept scores unchanged under hard NMS
         for i in got:
             np.testing.assert_allclose(np.asarray(out_scores)[i], scores[i])
+
+
+def _nms_oracle(masks, scores, cats, nms_type, nms_threshold=0.3,
+                sigma=0.5, floor=0.001):
+    """The reference's per-category re-sort-every-round NMS
+    (networks/zutis.py:211-299) in plain numpy."""
+    kept = np.zeros(len(scores), bool)
+    kept_scores = np.array(scores, np.float64)
+    for cat in set(cats.tolist()):
+        if cat == 0:
+            continue
+        idxs = [i for i in range(len(scores)) if cats[i] == cat
+                and masks[i].sum() > 0]
+        cand = {i: float(scores[i]) for i in idxs}
+        while cand:
+            best = max(cand, key=lambda i: cand[i])
+            kept[best] = True
+            kept_scores[best] = cand.pop(best)
+            for i in list(cand):
+                inter = np.logical_and(masks[i], masks[best]).sum()
+                union = np.logical_or(masks[i], masks[best]).sum()
+                iou = inter / union if union else 0.0
+                if nms_type == "hard":
+                    w = 0.0 if iou > nms_threshold else 1.0
+                elif nms_type == "linear":
+                    w = (1.0 - iou) if iou > nms_threshold else 1.0
+                else:
+                    w = float(np.exp(-(iou * iou) / sigma))
+                cand[i] *= w
+                if cand[i] <= floor:
+                    del cand[i]
+    return kept, kept_scores
+
+
+@pytest.mark.parametrize("nms_type", ["hard", "linear", "gaussian"])
+def test_all_nms_types_match_reference_resort_semantics(nms_type):
+    """Soft NMS re-sorts candidates after every re-weighting round
+    (reference zutis.py:245-266); selection order must follow the CURRENT
+    scores, not the original ones."""
+    rng = np.random.RandomState(7)
+    q, H, W = 24, 24, 24
+    masks = np.zeros((q, H, W), bool)
+    for i in range(q):
+        y, x = rng.randint(0, H - 10, 2)
+        h, w = rng.randint(4, 12, 2)
+        masks[i, y:y + h, x:x + w] = True
+    masks[3] = False  # an empty mask: never kept
+    scores = rng.uniform(0.001, 1.0, q).astype(np.float32)
+    cats = rng.randint(0, 4, q).astype(np.int32)
+
+    want_keep, want_scores = _nms_oracle(masks, scores, cats, nms_type)
+    keep, out_scores = mask_nms(
+        jnp.asarray(masks), jnp.asarray(scores), jnp.asarray(cats),
+        nms_type=nms_type)
+    np.testing.assert_array_equal(np.asarray(keep), want_keep)
+    np.testing.assert_allclose(np.asarray(out_scores)[want_keep],
+                               want_scores[want_keep], rtol=1e-5)
 
 
 def test_running_score_matches_manual():

@@ -43,11 +43,14 @@ class Config:
 
     # index (training) dataset
     index_dataset_name: str = "index"
+    # accepted for reference-YAML compatibility but a no-op: the reference
+    # itself never reads this key outside its configs (grep over its tree)
     use_archive_purifier: bool = False
     train_image_size: int = 384
     ignore_index: int = 255
     scale_range: Tuple[float, float] = (0.1, 1.0)
     use_advanced_copy_paste: bool = False
+    # no-op in the reference too: appears only in its configs
     iter_label_update: int = 0
     random_duplicate: bool = False
 
@@ -64,6 +67,8 @@ class Config:
     encoder_type: str = "clip"
     frozen_bn: bool = True
     stop_gradient: bool = True
+    # stored-but-never-read in the reference (networks/zutis.py:45 assigns
+    # it; nothing consumes it) — kept for config compatibility
     decoder_image_n_dims: Optional[int] = None
 
     # optimisation

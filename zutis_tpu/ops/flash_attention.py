@@ -50,41 +50,48 @@ def _pick_block_k(sk_pad: int, max_block: int = 1024) -> int:
     return best
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, sk: int,
+def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, heads: int,
                   block_k: int, scale: float):
-    q = q_ref[0, 0].astype(jnp.float32) * scale  # [block_q, d]
-    block_q, d = q.shape
+    """One grid cell = one (batch, q-block) pair, ALL heads. The head loop is
+    a static Python unroll (few heads, keeps grid cells coarse enough to
+    amortise per-cell overhead); the k loop is the online-softmax recurrence.
+    Dots take bf16 operands with float32 accumulation (MXU-native) — never
+    upcast inputs before the matmul."""
     sk_pad = k_ref.shape[2]
     nk = sk_pad // block_k
 
-    def body(i, carry):
-        acc, m_run, l_run = carry
-        kblk = k_ref[0, 0, pl.ds(i * block_k, block_k), :]  # [block_k, d]
-        vblk = v_ref[0, 0, pl.ds(i * block_k, block_k), :]
-        s = jax.lax.dot_general(
-            q, kblk.astype(jnp.float32),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [block_q, block_k]
-        valid = mask_ref[0, :, pl.ds(i * block_k, block_k)] > 0  # [1, block_k]
-        s = jnp.where(valid, s, _NEG_INF)
-        m_new = jnp.maximum(m_run, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)  # [block_q, block_k]
-        alpha = jnp.exp(m_run - m_new)  # [block_q, 1]
-        l_new = l_run * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p.astype(v_ref.dtype), vblk,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [block_q, d]
-        acc = acc * alpha + pv
-        return acc, m_new, l_new
+    for h in range(heads):
+        q = q_ref[0, h]  # [block_q, d], compute dtype
+        block_q, d = q.shape
 
-    acc0 = jnp.zeros((block_q, d), jnp.float32)
-    m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, _, l_fin = jax.lax.fori_loop(0, nk, body, (acc0, m0, l0))
-    o_ref[0, 0] = (acc / jnp.maximum(l_fin, 1e-30)).astype(o_ref.dtype)
+        def body(i, carry, h=h):
+            acc, m_run, l_run = carry
+            kblk = k_ref[0, h, pl.ds(i * block_k, block_k), :]
+            vblk = v_ref[0, h, pl.ds(i * block_k, block_k), :]
+            s = jax.lax.dot_general(
+                q, kblk,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [block_q, block_k] f32
+            valid = mask_ref[0, :, pl.ds(i * block_k, block_k)] > 0
+            s = jnp.where(valid, s, _NEG_INF)
+            m_new = jnp.maximum(m_run, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)  # [block_q, block_k]
+            alpha = jnp.exp(m_run - m_new)  # [block_q, 1]
+            l_new = l_run * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v_ref.dtype), vblk,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [block_q, d]
+            acc = acc * alpha + pv
+            return acc, m_new, l_new
+
+        acc0 = jnp.zeros((block_q, d), jnp.float32)
+        m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
+        l0 = jnp.zeros((block_q, 1), jnp.float32)
+        acc, _, l_fin = jax.lax.fori_loop(0, nk, body, (acc0, m0, l0))
+        o_ref[0, h] = (acc / jnp.maximum(l_fin, 1e-30)).astype(o_ref.dtype)
 
 
 def _flash_forward(
@@ -120,22 +127,37 @@ def _flash_forward(
     # satisfying Mosaic's (8, 128)-divisible-or-full tiling rule.
     mask = mask[:, None, :]
 
-    grid = (b, h, sq_pad // block_q)
+    # Heads per grid cell: as many as keep resident K+V under the VMEM
+    # budget — coarse cells amortise per-cell overhead (the dominant cost at
+    # short sequences), while long sequences fall back to fewer heads.
+    kv_bytes_per_head = 2 * sk_pad * d * q.dtype.itemsize
+    budget = 8 * 1024 * 1024
+    head_block = h
+    while head_block > 1 and (
+        head_block * kv_bytes_per_head > budget or h % head_block != 0
+    ):
+        head_block -= 1
+
+    grid = (b, h // head_block, sq_pad // block_q)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, sk=sk, block_k=block_k, scale=scale),
+        functools.partial(_flash_kernel, heads=head_block, block_k=block_k,
+                          scale=scale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+            pl.BlockSpec((1, head_block, block_q, d),
+                         lambda bi, hi, qi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, sk_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+            pl.BlockSpec((1, head_block, sk_pad, d),
+                         lambda bi, hi, qi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, sk_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+            pl.BlockSpec((1, head_block, sk_pad, d),
+                         lambda bi, hi, qi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, sk_pad), lambda bi, hi, qi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+            (1, head_block, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, sq_pad, d), q.dtype),

@@ -1,21 +1,19 @@
 """Device-side per-category greedy mask NMS.
 
 Behavioural contract (reference networks/zutis.py:211-299): per category
-(background id 0 excluded), repeatedly select the highest-scoring remaining
-mask and discard candidates whose IoU with it exceeds `nms_threshold`; a
-candidate also drops out when its (possibly down-weighted) score falls to or
-below `score_floor` (0.001). Empty masks are dropped. With hard NMS the
-procedure is exactly classic greedy NMS in descending score order, which is
-what we run — but on device: pairwise IoU is one [Q, HW] x [HW, Q] matmul on
-the MXU, and the sequential suppression scan is a fori_loop over the 100
-score-sorted proposals (SURVEY.md section 7 hard part 4).
+(background id 0 excluded), repeatedly RE-SORT the remaining candidates by
+their current (possibly re-weighted) score, select the max, re-weight the
+rest by IoU with it — hard: 0 beyond `nms_threshold`; linear: (1 - IoU)
+beyond the threshold; gaussian: exp(-IoU^2 / sigma) — and drop candidates
+whose score falls to or below `score_floor` (0.001). Selected masks keep
+their selection-time score. Empty masks never emit predictions.
 
-Soft-NMS variants ("linear", "gaussian", zutis.py:262-266) rescale scores of
-overlapping candidates instead; they are implemented in the same scan. Note:
-the reference re-sorts candidates after every re-weighting round; the scan
-processes in the original score order, which can differ for soft NMS when
-re-weighting reorders candidates. Hard NMS (the default used by every eval
-path in the reference) is exact.
+TPU-first: pairwise IoU is one [Q, HW] x [HW, Q] matmul on the MXU; the
+selection is a fori_loop of Q rounds, each taking a masked argmax over the
+LIVE scores — which reproduces the reference's re-sort-every-round semantics
+exactly for all three NMS types (categories never interact, so a global
+argmax yields each category's selection sequence; SURVEY.md section 7 hard
+part 4). One vmap over the batch gives the batched evaluator its NMS.
 """
 from __future__ import annotations
 
@@ -35,8 +33,9 @@ def mask_nms(
     sigma: float = 0.5,
     nms_type: str = "hard",
 ):
-    """Returns (keep [Q] bool, out_scores [Q] float). Masks with category 0,
-    empty masks, and scores <= score_floor are never kept."""
+    """Returns (keep [Q] bool, out_scores [Q] float). Kept entries carry
+    their selection-time score; masks with category 0 or empty masks are
+    never kept."""
     q = masks.shape[0]
     flat = masks.reshape(q, -1).astype(jnp.float32)
     areas = flat.sum(-1)
@@ -45,40 +44,33 @@ def mask_nms(
     union = areas[:, None] + areas[None, :] - inter
     iou = jnp.where(union > 0, inter / jnp.maximum(union, 1e-12), 0.0)
     same_cat = category_ids[:, None] == category_ids[None, :]
+    eligible = (category_ids != 0) & (areas > 0)
 
-    order = jnp.argsort(-scores)  # descending
-    iou_s = iou[order][:, order]
-    cat_s = same_cat[order][:, order]
-    scores_s = scores[order]
-    eligible = (
-        (category_ids[order] != 0)
-        & (areas[order] > 0)
-    )
+    def body(_, state):
+        keep, cur_scores, candidate = state
+        avail = candidate & eligible
+        live = jnp.where(avail, cur_scores, -jnp.inf)
+        i = jnp.argmax(live)
+        selected = live[i] > -jnp.inf  # False once no candidates remain
+        keep = keep.at[i].set(keep[i] | selected)
+        candidate = candidate.at[i].set(candidate[i] & ~selected)
 
-    def body(i, state):
-        keep, cur_scores = state
-        s_i = cur_scores[i]
-        ok = eligible[i] & (s_i > score_floor)
-        keep = keep.at[i].set(ok)
+        iou_i = iou[i]
         if nms_type == "hard":
-            # zero the scores of same-category candidates it suppresses
-            suppress = keep[i] & cat_s[i] & (iou_s[i] > nms_threshold)
-            cur_scores = jnp.where(
-                suppress & (jnp.arange(q) > i), 0.0, cur_scores
-            )
+            w = jnp.where(iou_i > nms_threshold, 0.0, 1.0)
         elif nms_type == "linear":
-            w = jnp.where(iou_s[i] > nms_threshold, 1.0 - iou_s[i], 1.0)
-            w = jnp.where(keep[i] & cat_s[i] & (jnp.arange(q) > i), w, 1.0)
-            cur_scores = cur_scores * w
+            w = jnp.where(iou_i > nms_threshold, 1.0 - iou_i, 1.0)
         else:  # gaussian
-            w = jnp.exp(-(iou_s[i] ** 2) / sigma)
-            w = jnp.where(keep[i] & cat_s[i] & (jnp.arange(q) > i), w, 1.0)
-            cur_scores = cur_scores * w
-        return keep, cur_scores
+            w = jnp.exp(-(iou_i ** 2) / sigma)
+        apply_w = selected & same_cat[i] & candidate
+        cur_scores = cur_scores * jnp.where(apply_w, w, 1.0)
+        # survivors below the floor leave the candidate pool (reference
+        # zutis.py:268-272); already-kept entries are untouched
+        candidate = candidate & (cur_scores > score_floor)
+        return keep, cur_scores, candidate
 
-    keep_s, scores_out_s = jax.lax.fori_loop(
-        0, q, body, (jnp.zeros(q, bool), scores_s)
+    keep, out_scores, _ = jax.lax.fori_loop(
+        0, q, body,
+        (jnp.zeros(q, bool), scores.astype(jnp.float32), eligible),
     )
-    # un-sort
-    inv = jnp.argsort(order)
-    return keep_s[inv], scores_out_s[inv]
+    return keep, out_scores

@@ -41,7 +41,7 @@ from zutis_tpu.postproc.instance import (
 def _append_jsonl(path: str, record: dict, first: bool) -> None:
     mode = "w" if first else "a"
     with open(path, mode) as f:
-        if not first:
+        if not first and os.path.getsize(path) > 0:
             f.write("\n")
         json.dump(record, f)
 
@@ -59,6 +59,21 @@ class Trainer:
         self.dir_ckpt = dir_ckpt
         self.debug = debug
         self.best_miou = 0.0
+        # artifact files this Trainer has already (re)started: the first
+        # write of a FRESH (non-resumed) run truncates, everything after
+        # appends — re-entering fit or logging at off-multiple steps no
+        # longer clobbers/corrupts the JSON-lines files
+        self._fresh_artifacts: set = set()
+
+    def _write_artifact(self, name: str, record: dict,
+                        resumed: bool = False) -> None:
+        path = f"{self.dir_ckpt}/{name}"
+        first = (
+            name not in self._fresh_artifacts
+            and not resumed
+        )
+        self._fresh_artifacts.add(name)
+        _append_jsonl(path, record, first=first)
 
     # ---------------- visualisation ----------------
 
@@ -156,6 +171,7 @@ class Trainer:
         it = iter(batches)
         t_start = time.time()
         start_iter = int(state.step)
+        self._resumed = start_iter > 0
         tracing = False
         for num_iter in range(start_iter + 1, n_iters + 1):
             if profile_dir and num_iter == profile_steps[0]:
@@ -188,9 +204,9 @@ class Trainer:
                     **{str(k): v for k, v in cls_iu.items()},
                 }
                 if self.dir_ckpt is not None:
-                    _append_jsonl(
-                        f"{self.dir_ckpt}/training_metrics.json", record,
-                        first=(num_iter == iter_log),
+                    self._write_artifact(
+                        "training_metrics.json", record,
+                        resumed=(start_iter > 0),
                     )
                 print(
                     f"({num_iter}/{n_iters}) loss {loss_meter.avg:.3f} "
@@ -405,8 +421,8 @@ class Trainer:
             record = {"num_iter": num_iter, "timestamp": str(datetime.now())}
             record.update(scores)
             record.update({str(k): v for k, v in cls_iu.items()})
-            _append_jsonl(f"{self.dir_ckpt}/eval_metrics.json", record,
-                          first=(num_iter == iter_eval))
+            self._write_artifact("eval_metrics.json", record,
+                                 resumed=getattr(self, "_resumed", False))
             if dataset_name == "coco2017":
                 serializable = []
                 for p in instance_predictions:
@@ -426,9 +442,9 @@ class Trainer:
                         instance_predictions)
                 except (IndexError, KeyError):
                     coco_metrics = {"index error": -1.0}
-                _append_jsonl(
-                    f"{self.dir_ckpt}/eval_coco_style_metrics.json",
-                    coco_metrics, first=(num_iter == iter_eval),
+                self._write_artifact(
+                    "eval_coco_style_metrics.json", coco_metrics,
+                    resumed=getattr(self, "_resumed", False),
                 )
         miou = scores["Mean IoU"]
         if np.isfinite(miou) and miou > self.best_miou and num_iter != -1:

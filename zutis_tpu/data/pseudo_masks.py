@@ -10,7 +10,9 @@ mask back to the original size, RLE-encode to
 back pixel-exactly (index_dataset.py:219-224). Existing files are reused.
 
 TPU-first: SelfMask runs batched and jitted on device at a fixed padded
-resolution; only the bilateral solve runs on host."""
+resolution. The bilateral refinement runs on host by default (scipy CG, the
+reference's regime) or fully on device with ZUTIS_TPU_BILATERAL=device
+(ops/bilateral_device.py: jittable grid CG + flood-fill components)."""
 from __future__ import annotations
 
 import json
@@ -73,8 +75,18 @@ def generate_pseudo_masks(
         )[0, :h, :w]
 
         if use_bilateral_solver:
-            _, refined = bilateral_solver_output(
-                np.asarray(resized), mask.astype(np.float64))
+            if os.environ.get("ZUTIS_TPU_BILATERAL") == "device":
+                from zutis_tpu.ops.bilateral_device import (
+                    bilateral_solver_output_device,
+                )
+
+                _, refined = bilateral_solver_output_device(
+                    jnp.asarray(np.asarray(resized), jnp.float32),
+                    jnp.asarray(mask, jnp.float32))
+                refined = np.asarray(refined)
+            else:
+                _, refined = bilateral_solver_output(
+                    np.asarray(resized), mask.astype(np.float64))
             mask = refined.astype(np.uint8)
 
         # nearest-resize back to the original resolution

@@ -12,11 +12,14 @@ component the reference's forward computes live.)
 
 Roofline context for the >=2,000 img/s/chip north star (BASELINE.md):
   - The program executes ~156 GFLOP/image in matmuls (encoder ~110, decoder
-    head ~44, semantic einsum ~2). One v5e chip peaks at ~197 bf16 TFLOP/s,
-    so even a 100%-MXU execution of these FLOPs caps at ~1,260 img/s at
-    384px; the target is unreachable for this program in bf16 on one chip
-    without algorithmic cuts (int8 MXU mode, ~394 TOP/s, is the planned
-    lever: it doubles the ceiling to ~2,500 img/s).
+    head ~44, semantic einsum ~2). One v5e chip peaks at ~197 bf16 TFLOP/s
+    (measured 178 TF/s on a 4096^3 chain = 90% of peak), so even a 100%-MXU
+    execution of these FLOPs caps at ~1,260 img/s at 384px — the 2,000
+    target is unreachable for this exact program on one chip. int8 was
+    measured at PARITY with bf16 under this runtime (no MXU int8 speedup is
+    exposed through XLA here), so the remaining levers are algorithmic
+    (fewer tokens/lower resolution at matched accuracy) or multi-chip
+    scaling, which a per-chip metric does not credit.
   - Measured composition at batch 64 (fp-forced timings): non-attention
     encoder work ~65 ms, attention matmuls ~23 ms, softmax ~34 ms (reduced
     by the clamped max-free bf16 softmax in ops/attention.py), decoder head

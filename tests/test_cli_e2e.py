@@ -200,13 +200,15 @@ def test_coco20k_eval_cli(fixture_dir, tmp_path):
             "--p_config", cfg_fp, "--p_state_dict", ckpt,
             "--dir_dataset", str(d20k), "--dir_ckpt",
             str(tmp_path / f"out_{tag}"), "--suffix", tag,
-            "--batch_images", str(batch),
+            "--batch_images", str(batch), "--visualise_first", "1",
         ])
-        fps = []
+        fps, pngs = [], []
         for dirpath, _, filenames in os.walk(tmp_path / f"out_{tag}"):
             fps += [f"{dirpath}/{fn}" for fn in filenames
                     if fn.endswith(".json")]
+            pngs += [fn for fn in filenames if fn.startswith("overlay_")]
         assert len(fps) == 1
+        assert len(pngs) == 1, "instance overlay PNG not written"
         with open(fps[0]) as f:
             results[tag] = json.load(f)
     for key in ("AP", "AP_50", "AP_75", "AR_100"):

@@ -236,3 +236,40 @@ def test_weight_export_roundtrip():
     assert len(flat_a) == len(flat_b)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_zutis_dino_encoder_family():
+    """encoder_type="dino" arm: DINO DeiT encoder bridged into the text dim
+    by vision_to_text_ffn before the upsample (reference
+    networks/zutis.py:73-100,482-486); converter round-trips an official
+    DINO-layout checkpoint."""
+    from zutis_tpu.models.zutis import ZUTIS
+
+    model = ZUTIS(encoder_family="dino", width=16, text_dim=16,
+                  patch_size=16, input_resolution=32, dino_embed_dim=32,
+                  dino_depth=1, dino_heads=2, n_queries=5,
+                  n_decoder_layers=1, n_heads=2)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 3, 64, 64), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    out = model.apply({"params": params}, x)
+    # 64/16 = 4 grid, x2 upsample -> 8
+    assert out["mask_proposals"].shape == (1, 1, 5, 8, 8)
+    assert out["patch_tokens"].shape == (1, 8, 8, 16)
+
+    # converter handles the official DINO key layout
+    from torch_oracle import TorchDeiTBlock
+    torch.manual_seed(2)
+    blk = TorchDeiTBlock(32, 2)
+    sd = {
+        "patch_embed.proj.weight": torch.randn(32, 3, 16, 16),
+        "patch_embed.proj.bias": torch.randn(32),
+        "cls_token": torch.zeros(1, 1, 32),
+        "pos_embed": torch.randn(1, 5, 32),
+        "norm.weight": torch.ones(32), "norm.bias": torch.zeros(32),
+        **{f"blocks.0.{k}": v for k, v in blk.state_dict().items()},
+    }
+    enc_params = W.convert_dino_encoder(sd)
+    new_params = dict(params)
+    new_params["encoder"] = jax.tree_util.tree_map(jnp.asarray, enc_params)
+    out2 = model.apply({"params": new_params}, x)
+    assert np.isfinite(np.asarray(out2["patch_tokens"])).all()

@@ -31,6 +31,10 @@ def main(argv=None):
     parser.add_argument("--suffix", type=str, default="")
     parser.add_argument("--max_images", type=int, default=None)
     parser.add_argument("--batch_images", type=int, default=8)
+    parser.add_argument("--visualise_first", type=int, default=0,
+                        help="save instance-overlay PNGs for the first N "
+                             "images (the reference's detectron2 "
+                             "visualisation, coco20k_eval.py:120-180)")
     args = parser.parse_args(argv)
 
     import time
@@ -73,7 +77,8 @@ def main(argv=None):
 
         model = ZUTIS(dtype=dtype, **model_kwargs)
     else:
-        model = build_zutis(cfg.clip_arch, dtype=dtype)
+        model = build_zutis(cfg.clip_arch, dtype=dtype,
+                            encoder_type=cfg.encoder_type)
     params = load_params_any(args.p_state_dict)
     text_embeddings = build_text_embeddings(cfg, dtype)
 
@@ -81,6 +86,23 @@ def main(argv=None):
         info = coco.load_img(image_id)
         p_image = f"{args.dir_dataset}/train2014/{info['file_name']}"
         return normalize_image(Image.open(p_image).convert("RGB"))
+
+    n_visualised = [0]
+
+    def maybe_visualise(image_id, image, res, j, H, W):
+        if n_visualised[0] >= args.visualise_first:
+            return
+        from zutis_tpu.engine.visualiser import instance_overlay
+
+        keep = np.flatnonzero(res["keep"][j])
+        instance_overlay(
+            image,
+            res["masks"][j, keep, :H, :W],
+            [float(res["scores"][j, k]) for k in keep],
+            [str(int(res["category_ids"][j, k])) for k in keep],
+            f"{dir_ckpt}/overlay_{image_id}.png",
+        )
+        n_visualised[0] += 1
 
     predictions = []
     t0 = time.time()
@@ -106,6 +128,7 @@ def main(argv=None):
                 jnp.asarray(native_pixels)).items()}
             for j, (image_id, img) in enumerate(items):
                 H, W = img.shape[-2:]
+                maybe_visualise(image_id, img, res, j, H, W)
                 predictions.extend(instances_to_coco(
                     {
                         "masks": res["masks"][j:j + 1, :, :H, :W],
@@ -131,7 +154,8 @@ def main(argv=None):
             return model.apply({"params": p}, image)
 
         for image_id in image_ids:
-            image = jnp.asarray(load_image(image_id))[None]
+            img_np = load_image(image_id)
+            image = jnp.asarray(img_np)[None]
             H, W = image.shape[-2:]
             out = forward(params, image)
             dev = predict_instances_device(
@@ -139,8 +163,10 @@ def main(argv=None):
                 size=(int(H), int(W)), threshold=args.threshold,
                 nms_type=args.nms_type,
             )
+            res = {k: np.asarray(v) for k, v in dev.items()}
+            maybe_visualise(image_id, img_np, res, 0, int(H), int(W))
             predictions.extend(instances_to_coco(
-                {k: np.asarray(v) for k, v in dev.items()},
+                res,
                 image_ids=[image_id],
                 new_label_id_to_old_label_id=new_label_id_to_old_label_id,
             ))

@@ -114,7 +114,7 @@ def main(argv=None):
                       **model_kwargs)
     else:
         model = build_zutis(cfg.clip_arch, stop_gradient=cfg.stop_gradient,
-                            dtype=dtype)
+                            dtype=dtype, encoder_type=cfg.encoder_type)
     text_embeddings = build_text_embeddings(cfg, dtype)
 
     val_dataset = get_eval_dataset(

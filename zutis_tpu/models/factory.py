@@ -88,6 +88,7 @@ def build_zutis(
     stop_gradient: bool = True,
     dtype=jnp.float32,
     attn_impl: str = "auto",
+    encoder_type: str = "clip",
 ) -> ZUTIS:
     base_arch, upsample = normalize_clip_arch(clip_arch)
     common = dict(
@@ -99,6 +100,19 @@ def build_zutis(
         dtype=dtype,
         attn_impl=attn_impl,
     )
+    if encoder_type == "dino":
+        # comparison arm (reference networks/zutis.py:73-100): DINO ViT-B/16
+        # encoder bridged into the clip_arch's text dim by vision_to_text_ffn
+        text_dim = (_VIT_SPECS[base_arch][4] if base_arch in _VIT_SPECS
+                    else _RN_SPECS[base_arch][3])
+        return ZUTIS(
+            encoder_family="dino",
+            width=text_dim,
+            text_dim=text_dim,
+            patch_size=16,
+            input_resolution=224,
+            **common,
+        )
     if base_arch in _RN_SPECS:
         layers, rn_width, embed, out_dim, res = _RN_SPECS[base_arch]
         return ZUTIS(

@@ -157,6 +157,42 @@ def convert_clip_rn_visual(
     return params
 
 
+def convert_dino_encoder(sd: Mapping[str, Any]) -> dict:
+    """Official DINO ViT checkpoint (keys `patch_embed.proj.*`, `blocks.N.*`,
+    `cls_token`, `pos_embed`, `norm.*`) -> DeiTEncoder params (the encoder
+    the reference's encoder_type="dino" arm downloads,
+    utils/utils.py:293-310)."""
+    enc: Dict[str, Any] = {
+        "patch_embed": {
+            "kernel": _np(sd["patch_embed.proj.weight"]).transpose(2, 3, 1, 0),
+            "bias": _np(sd["patch_embed.proj.bias"]),
+        },
+        "cls_token": _np(sd["cls_token"]).reshape(1, 1, -1),
+        "pos_embed": _np(sd["pos_embed"])[0],
+        "norm": _ln(sd, "norm"),
+    }
+    i = 0
+    while f"blocks.{i}.norm1.weight" in sd:
+        p = f"blocks.{i}"
+        qkv_w = _np(sd[f"{p}.attn.qkv.weight"])
+        qkv_b = _np(sd[f"{p}.attn.qkv.bias"])
+        d = qkv_w.shape[1]
+        attn = {}
+        for j, name in enumerate(("q_proj", "k_proj", "v_proj")):
+            attn[name] = {"kernel": qkv_w[j * d:(j + 1) * d].T,
+                          "bias": qkv_b[j * d:(j + 1) * d]}
+        attn["out_proj"] = _dense(sd, f"{p}.attn.proj")
+        enc[f"blocks_{i}"] = {
+            "norm1": _ln(sd, f"{p}.norm1"),
+            "norm2": _ln(sd, f"{p}.norm2"),
+            "attn": attn,
+            "fc1": _dense(sd, f"{p}.mlp.fc1"),
+            "fc2": _dense(sd, f"{p}.mlp.fc2"),
+        }
+        i += 1
+    return enc
+
+
 def convert_clip_text(sd: Mapping[str, Any]) -> dict:
     n_layers = len({
         k.split(".")[2] for k in sd if k.startswith("transformer.resblocks.")

@@ -62,10 +62,15 @@ def masked_full_map_layer_norm(
 
 
 class ZUTIS(nn.Module):
-    # encoder family: "vit" (CLIP ViT) or "rn" (CLIP ModifiedResNet).
+    # encoder family: "vit" (CLIP ViT), "rn" (CLIP ModifiedResNet) or
+    # "dino" (DINO ViT-B/16, the reference's encoder_type="dino" comparison
+    # arm, networks/zutis.py:73-100).
     # For "rn", `width` is the stage-4 embed dim (rn_width * 32, e.g. 2048
     # for RN50) — it feeds ffn1/ffn2 and the decoder exactly as the
     # reference's `self.encoder.width` does (networks/zutis.py:59-71).
+    # For "dino", patch tokens pass through `vision_to_text_ffn` into the
+    # text dimension BEFORE the upsample (networks/zutis.py:482-486), so
+    # `width` == text_dim and the raw encoder dim is `dino_embed_dim`.
     encoder_family: str = "vit"
     # encoder (ViT-B/16 defaults; ViT-B/32 via patch_size=32)
     width: int = 768
@@ -77,6 +82,10 @@ class ZUTIS(nn.Module):
     # RN-family geometry (used when encoder_family == "rn")
     rn_layers: Tuple[int, int, int, int] = (3, 4, 6, 3)
     rn_width: int = 64
+    # DINO-family geometry (used when encoder_family == "dino")
+    dino_embed_dim: int = 768
+    dino_depth: int = 12
+    dino_heads: int = 12
     # decoder head
     n_queries: int = 100
     n_decoder_layers: int = 6
@@ -102,6 +111,27 @@ class ZUTIS(nn.Module):
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
                 name="encoder",
+            )
+        elif self.encoder_family == "dino":
+            from zutis_tpu.models.selfmask import DeiTEncoder
+
+            assert self.width == self.text_dim, (
+                "DINO family: vision_to_text_ffn maps tokens into the text "
+                "dim before the decoder (reference networks/zutis.py:482-486)"
+                f"; width must equal text_dim={self.text_dim}"
+            )
+            self.encoder = DeiTEncoder(
+                embed_dim=self.dino_embed_dim,
+                depth=self.dino_depth,
+                heads=self.dino_heads,
+                patch_size=self.patch_size,
+                base_grid=self.input_resolution // self.patch_size,
+                dtype=self.dtype,
+                name="encoder",
+            )
+            self.vision_to_text_ffn = MLP(
+                256, self.text_dim, 3, dtype=self.dtype,
+                name="vision_to_text_ffn",
             )
         else:
             self.encoder = CLIPViT(
@@ -141,6 +171,10 @@ class ZUTIS(nn.Module):
         so the other 5 sigmoid einsums are training-only work."""
         b = x.shape[0]
         patch_tokens, h_feat, w_feat = self.encoder(x)
+        if self.encoder_family == "dino":
+            # DeiTEncoder returns CLS-prefixed tokens; bridge into the text
+            # dim before everything downstream (reference zutis.py:482-486)
+            patch_tokens = self.vision_to_text_ffn(patch_tokens[:, 1:, :])
 
         if self.upsample_tokens:
             grid = patch_tokens.reshape(b, h_feat, w_feat, self.width)
@@ -187,6 +221,12 @@ class ZUTIS(nn.Module):
             text_tokens = self.encoder.attnpool_tokens(token_grid).astype(
                 jnp.float32
             )
+        elif self.encoder_family == "dino":
+            # tokens are already in the text dim via vision_to_text_ffn; the
+            # reference would pass `self.encoder.proj` here, an attribute
+            # DINO ViTs do not have (its dino arm crashes at
+            # networks/zutis.py:529) — the evident intent is no projection
+            text_tokens = token_grid.astype(jnp.float32)
         else:
             text_tokens = jnp.einsum(
                 "bhwn,nc->bhwc",
@@ -230,9 +270,9 @@ class ZUTIS(nn.Module):
 
         Returns forward outputs plus "valid" [b, h, w] and "native_grid"
         [b, 2] (post-upsample) for downstream decode."""
-        assert self.encoder_family != "rn", (
-            "forward_padded is exact only for non-overlapping patch "
-            "embeddings (ViT); evaluate RN models per-image"
+        assert self.encoder_family == "vit", (
+            "forward_padded is implemented for the CLIP ViT family; RN "
+            "(overlapping convs) and DINO models evaluate per-image"
         )
         from zutis_tpu.ops.dynamic_shapes import (
             replicate_edges,

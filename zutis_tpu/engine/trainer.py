@@ -254,7 +254,7 @@ class Trainer:
         num_iter: Optional[int] = None,
         iter_eval: Optional[int] = None,
         max_images: Optional[int] = None,
-        batch_images: int = 8,
+        batch_images: int = 16,
     ) -> Dict[str, float]:
         """Evaluation with bucketed batching by default (SURVEY.md section 7
         hard part 2): images are padded into quantised resolution buckets and

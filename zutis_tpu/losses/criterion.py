@@ -165,9 +165,14 @@ def criterion_loss(
         matched = jnp.where(instance_valid, matched, 0.0)
         return matched.sum(-1), col4row
 
-    # scan over decoder layers to bound peak memory at one upsampled layer
+    # scan over decoder layers to bound peak memory at one upsampled layer.
+    # jax.checkpoint is ESSENTIAL here: without it the backward pass saves
+    # every layer's full-resolution upsampled proposals and cost tensors as
+    # residuals ([L, b, Q, H, W] float32 — ~13 GB for the reference's
+    # batch-8/384px/6-layer training config, which OOMs a 16 GB chip);
+    # rematerialising them costs one extra resize matmul per layer.
     def scan_body(_, proposals_l):
-        per_image, col4row = per_layer(proposals_l)
+        per_image, col4row = jax.checkpoint(per_layer)(proposals_l)
         return None, (per_image, col4row)
 
     _, (per_image_layers, col4rows) = jax.lax.scan(

@@ -143,18 +143,11 @@ def main(argv=None):
     from zutis_tpu.engine.train_step import TrainState
     from zutis_tpu.models.factory import load_clip_params
 
-    category_to_p_images = load_category_to_p_images(
-        cfg.category_to_p_images_fp)
-
-    # pseudo-masks: reuse cached JSONs; generate the rest with SelfMask
-    dir_pseudo = os.path.join(
-        os.path.dirname(cfg.category_to_p_images_fp) or ".", "pseudo_masks")
-    all_images = [p for ps in category_to_p_images.values() for p in ps]
-    missing = [
-        p for p in all_images
-        if not os.path.exists(pseudo_mask_path(dir_pseudo, p))
-    ]
-    if missing:
+    def ensure_pseudo_masks(missing, dir_pseudo, path_map=None):
+        """Generate any missing pseudo-masks with SelfMask (reference
+        index_dataset.py:257-277)."""
+        if not missing:
+            return
         from zutis_tpu.models.selfmask import SelfMask, \
             convert_selfmask_checkpoint
         from zutis_tpu.models.weights import load_torch_state_dict
@@ -166,14 +159,12 @@ def main(argv=None):
         )
         selfmask_params = convert_selfmask_checkpoint(
             load_torch_state_dict(p_selfmask))
-        generate_pseudo_masks(missing, dir_pseudo, selfmask_params)
-    p_image_to_p_pseudo_mask = {
-        p: pseudo_mask_path(dir_pseudo, p) for p in all_images
-    }
+        generate_pseudo_masks(missing, dir_pseudo, selfmask_params,
+                              path_map=path_map)
 
     if cfg.index_dataset_name == "imagenet":
         # ImageNet-only variant (reference datasets/imagenet.py): its own
-        # pseudo-mask layout, no random scaling, optional grid paste mode
+        # wnid pseudo-mask layout, no random scaling, optional grid paste
         from zutis_tpu.data.imagenet_index import ImageNet1KDataset
 
         dataset = ImageNet1KDataset(
@@ -186,7 +177,26 @@ def main(argv=None):
             use_advanced_copy_paste=cfg.use_advanced_copy_paste,
             seed=args.seed,
         )
+        ensure_pseudo_masks(
+            dataset.missing_pseudo_masks(), "",
+            path_map=dataset.p_image_to_p_pseudo_mask,
+        )
     else:
+        category_to_p_images = load_category_to_p_images(
+            cfg.category_to_p_images_fp)
+        # pseudo-masks: reuse cached JSONs; generate the rest with SelfMask
+        dir_pseudo = os.path.join(
+            os.path.dirname(cfg.category_to_p_images_fp) or ".",
+            "pseudo_masks")
+        all_images = [p for ps in category_to_p_images.values() for p in ps]
+        ensure_pseudo_masks(
+            [p for p in all_images
+             if not os.path.exists(pseudo_mask_path(dir_pseudo, p))],
+            dir_pseudo,
+        )
+        p_image_to_p_pseudo_mask = {
+            p: pseudo_mask_path(dir_pseudo, p) for p in all_images
+        }
         dataset = IndexDataset(
             categories=cfg.categories,
             category_to_p_images=category_to_p_images,

@@ -41,17 +41,22 @@ def generate_pseudo_masks(
     image_size: int = 512,
     use_bilateral_solver: bool = True,
     overwrite: bool = False,
+    path_map: Optional[Dict[str, str]] = None,
 ) -> Dict[str, str]:
-    """Returns {p_image: p_pseudo_mask_json}; generates missing entries."""
+    """Returns {p_image: p_pseudo_mask_json}; generates missing entries.
+    `path_map` overrides the flat `<dir>/<stem>.json` layout per image (the
+    ImageNet variant stores under `{split}_pseudo_masks_selfmask/{wnid}/`,
+    data/imagenet_index.py)."""
     import jax
     import jax.numpy as jnp
 
-    os.makedirs(dir_pseudo_masks, exist_ok=True)
     model = model or SelfMask()
     out: Dict[str, str] = {}
     todo: List[str] = []
     for p in p_images:
-        p_mask = pseudo_mask_path(dir_pseudo_masks, p)
+        p_mask = (path_map[p] if path_map is not None
+                  else pseudo_mask_path(dir_pseudo_masks, p))
+        os.makedirs(os.path.dirname(p_mask) or ".", exist_ok=True)
         out[p] = p_mask
         if overwrite or not os.path.exists(p_mask):
             todo.append(p)

@@ -30,7 +30,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from zutis_tpu.ops.dynamic_shapes import _vmapped_matrix
 from zutis_tpu.ops.nms import mask_nms
 
 

@@ -16,7 +16,6 @@ Only numpy in/out here; `load_torch_state_dict` handles .pt files (both plain
 and TorchScript archives) when torch is importable."""
 from __future__ import annotations
 
-import io
 from typing import Any, Dict, Mapping
 
 import numpy as np

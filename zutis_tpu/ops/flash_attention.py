@@ -26,7 +26,6 @@ that the O(sq*sk) backward logits fit comfortably at training shapes).
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional
 
 import jax

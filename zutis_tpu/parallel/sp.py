@@ -27,11 +27,9 @@ single-device result on the 8-device CPU mesh.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from zutis_tpu.ops.attention import dot_product_attention
 

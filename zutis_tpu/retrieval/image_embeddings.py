@@ -16,7 +16,6 @@ from typing import Dict, List, Optional
 import numpy as np
 from PIL import Image
 
-from zutis_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
 
 # CLIP's published preprocessing constants
 CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)

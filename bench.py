@@ -100,7 +100,7 @@ def main():
         return batch * n_iters / dt
 
     best = 0.0
-    for batch in (256, 192, 128):
+    for batch in (192, 128):
         try:
             best = max(best, measure(batch))
         except Exception:

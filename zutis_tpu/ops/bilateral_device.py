@@ -184,8 +184,14 @@ def bilateral_solve_device(
 
 def _propagate_labels(labels: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Min-neighbour label flood within `mask` (4-connectivity) until
-    convergence: the device analogue of scipy.ndimage.label's flood fill."""
+    convergence — the device analogue of scipy.ndimage.label's flood fill.
+    Every round combines one neighbour spread with one POINTER JUMP
+    (label <- label[label], valid because labels hold pixel indices whose
+    own label is the component minimum so far), so winding components
+    converge in ~log(diameter) rounds instead of O(diameter)."""
     big = jnp.iinfo(jnp.int32).max
+    h, w = labels.shape
+    n = h * w
 
     def spread(lab):
         padded = jnp.pad(lab, 1, constant_values=big)
@@ -195,13 +201,19 @@ def _propagate_labels(labels: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         )
         return jnp.where(mask, jnp.minimum(lab, nb), big)
 
+    def jump(lab):
+        flat = lab.ravel()
+        idx = jnp.clip(flat, 0, n - 1)
+        hopped = jnp.where(flat < big, flat[idx], big)
+        return jnp.minimum(flat, hopped).reshape(h, w)
+
     def cond(state):
         lab, changed = state
         return changed
 
     def body(state):
         lab, _ = state
-        new = spread(lab)
+        new = jump(spread(lab))
         return new, jnp.any(new != lab)
 
     labels, _ = jax.lax.while_loop(cond, body, (labels, jnp.asarray(True)))

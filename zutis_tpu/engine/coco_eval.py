@@ -20,6 +20,14 @@ Protocol summary:
 
 Segmentation masks arrive as COCO RLE dicts or polygons (converted through
 ops/rle); IoUs are computed with ops/rle.mask_iou.
+
+Oracle status: pycocotools is not installable in this environment, so parity
+with the C implementation cannot be asserted in-repo. Coverage instead:
+hand-computable AP scenarios (tests/test_coco_eval.py) for matching, crowd,
+area-range and maxDet behaviours, and the RLE layer is cross-validated
+byte-for-byte against the independent C++ codec (tests/test_rle_native.py).
+When running somewhere with pycocotools, `COCOEvaluator(gt).evaluate(preds)`
+takes the same gt-dict/prediction-list inputs as COCOeval for a direct A/B.
 """
 from __future__ import annotations
 

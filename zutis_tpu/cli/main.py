@@ -234,7 +234,9 @@ def main(argv=None):
         print(f"resumed train state from {resume_dir} "
               f"(step {int(state.step)})")
     batches = batch_iterator(dataset, batch_size, seed=args.seed,
-                             start_step=int(state.step))
+                             start_step=int(state.step),
+                             process_index=jax.process_index(),
+                             process_count=jax.process_count())
 
     trainer.fit(
         state, tx, batches, n_iters=cfg.n_iters,

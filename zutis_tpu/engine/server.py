@@ -1,0 +1,207 @@
+"""Batched dense-inference server (SURVEY.md section 7 item 8: the serving
+path behind the throughput north star).
+
+No reference counterpart — the reference evaluates batch-1 in a Python loop
+(trainer.py:294-375). This server turns the jitted fixed-shape dense
+inference program into a request/response service:
+
+  - requests (single images at the service resolution) queue up; a worker
+    thread drains them into fixed-size batches (padding the tail with the
+    first request, dropped after) so every dispatch hits the ONE compiled
+    program;
+  - the program computes the semantic argmax map and the full instance
+    decode (threshold -> classify -> NMS) on device; only small tensors
+    (semantic map, scores/keep/categories) plus the kept binary masks leave
+    the chip;
+  - host-side finishing RLE-encodes kept masks through the C++ batch codec
+    (native/rle.cc) when available, the numpy codec otherwise;
+  - `mesh=` shards each batch over the `data` axis so one server process
+    drives a whole slice; the program is identical, GSPMD inserts the
+    collectives.
+
+Synchronous `infer(images)` and future-based `submit(image)` APIs;
+tests/test_server.py checks batching, ordering, and parity with direct
+inference.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zutis_tpu.ops import rle as rle_ops
+from zutis_tpu.ops.nms import mask_nms
+
+
+class InferenceServer:
+    def __init__(
+        self,
+        model,
+        params,
+        text_embeddings: jnp.ndarray,
+        image_size: int = 384,
+        batch_size: int = 16,
+        threshold: float = 0.5,
+        temperature: float = 5.0,
+        nms_type: str = "hard",
+        nms_threshold: float = 0.3,
+        mesh=None,
+        max_wait_ms: float = 5.0,
+        encode_rle: bool = True,
+    ):
+        self.model = model
+        self.image_size = image_size
+        self.batch_size = batch_size
+        self.encode_rle = encode_rle
+        self._mesh = mesh
+        if mesh is not None:
+            from zutis_tpu.parallel.mesh import replicate
+
+            params = replicate(params, mesh)
+            text_embeddings = replicate(text_embeddings, mesh)
+        self._params = params
+        self._text = text_embeddings
+        self._max_wait = max_wait_ms / 1000.0
+
+        @jax.jit
+        def step(p, text, images):
+            out = model.apply({"params": p}, images, inference=True)
+            logits = jnp.einsum(
+                "nc,bhwc->bnhw", text, out["patch_tokens"],
+                preferred_element_type=jnp.float32,
+            )
+            semantic = jnp.argmax(logits, axis=1).astype(jnp.int32)
+            proposals = out["mask_proposals"][:, -1]
+            binary = proposals > threshold
+            sizes = binary.sum(axis=(-2, -1)).astype(jnp.float32)
+            confidence = (
+                jnp.sum(proposals * binary, axis=(-2, -1)) / (sizes + 1e-7)
+            )
+            tokens = out["patch_tokens"]
+            avg = jnp.einsum(
+                "bhwc,bqhw->bqc", tokens, binary.astype(tokens.dtype),
+                preferred_element_type=jnp.float32,
+            ) / (sizes[..., None] + 1e-7)
+            avg = avg / (jnp.linalg.norm(avg, axis=-1, keepdims=True) + 1e-7)
+            cat_probs = jax.nn.sigmoid(
+                jnp.einsum("nc,bqc->bqn", text, avg,
+                           preferred_element_type=jnp.float32) * temperature
+            )
+            category_ids = jnp.argmax(cat_probs, axis=-1)
+            confidence = confidence * jnp.max(cat_probs, axis=-1)
+            keep, scores = jax.vmap(
+                lambda m, s, c: mask_nms(
+                    m, s, c, nms_threshold=nms_threshold, nms_type=nms_type)
+            )(binary, confidence, category_ids)
+            return {
+                "semantic": semantic,
+                "masks": binary,
+                "keep": keep,
+                "scores": scores,
+                "category_ids": category_ids,
+            }
+
+        self._step = step
+        self._queue: "queue.Queue" = queue.Queue()
+        self._worker: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+
+    # ---------------- synchronous API ----------------
+
+    def infer(self, images: Sequence[np.ndarray]) -> List[Dict]:
+        """images: normalised [3, S, S] arrays -> one result dict each."""
+        results: List[Dict] = []
+        B = self.batch_size
+        for s in range(0, len(images), B):
+            chunk = list(images[s:s + B])
+            n = len(chunk)
+            while len(chunk) < B:
+                chunk.append(chunk[0])
+            batch = jnp.asarray(np.stack(chunk))
+            if self._mesh is not None:
+                from zutis_tpu.parallel.mesh import shard_batch
+
+                batch = shard_batch({"x": batch}, self._mesh)["x"]
+            out = self._step(self._params, self._text, batch)
+            out = {k: np.asarray(v) for k, v in out.items()}
+            for j in range(n):
+                results.append(self._finish(out, j))
+        return results
+
+    def _finish(self, out: Dict[str, np.ndarray], j: int) -> Dict:
+        kept = np.flatnonzero(out["keep"][j])
+        instances = []
+        masks = out["masks"][j]
+        for qi in kept:
+            m = masks[qi].astype(np.uint8)
+            if m.sum() == 0:
+                continue
+            inst = {
+                "category_id": int(out["category_ids"][j, qi]),
+                "score": float(out["scores"][j, qi]),
+            }
+            if self.encode_rle:
+                from zutis_tpu.native import native_encode
+
+                counts = native_encode(m)
+                if counts is None:  # no C++ toolchain: numpy codec
+                    inst["segmentation"] = rle_ops.encode(m)
+                else:
+                    inst["segmentation"] = {
+                        "size": list(m.shape), "counts": counts}
+            else:
+                inst["mask"] = m.astype(bool)
+            instances.append(inst)
+        return {"semantic": out["semantic"][j], "instances": instances}
+
+    # ---------------- async (queued) API ----------------
+
+    def start(self) -> None:
+        assert self._worker is None, "server already started"
+        self._stop.clear()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def stop(self) -> None:
+        if self._worker is None:
+            return
+        self._stop.set()
+        self._queue.put(None)  # wake the worker
+        self._worker.join()
+        self._worker = None
+
+    def submit(self, image: np.ndarray) -> "Future":
+        assert self._worker is not None, "call start() first"
+        fut: Future = Future()
+        self._queue.put((image, fut))
+        return fut
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            item = self._queue.get()
+            if item is None:
+                continue
+            pending = [item]
+            # opportunistically fill the batch within the wait budget
+            while len(pending) < self.batch_size:
+                try:
+                    nxt = self._queue.get(timeout=self._max_wait)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    break
+                pending.append(nxt)
+            images = [p[0] for p in pending]
+            try:
+                results = self.infer(images)
+                for (_, fut), res in zip(pending, results):
+                    fut.set_result(res)
+            except Exception as exc:  # pragma: no cover - propagation path
+                for _, fut in pending:
+                    if not fut.done():
+                        fut.set_exception(exc)

@@ -62,3 +62,24 @@ def test_async_submit_matches_sync(server_parts):
         for gi, wi in zip(g["instances"], w["instances"]):
             assert gi["category_id"] == wi["category_id"]
             np.testing.assert_allclose(gi["score"], wi["score"], rtol=1e-6)
+
+
+def test_uint8_transport_matches_float_path(server_parts):
+    model, params, text, images = server_parts
+    from zutis_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    rng = np.random.RandomState(7)
+    raw = [rng.randint(0, 256, (3, 32, 32)).astype(np.uint8)
+           for _ in range(3)]
+    norm = [((r.transpose(1, 2, 0) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+             ).transpose(2, 0, 1).astype(np.float32) for r in raw]
+
+    srv_u8 = InferenceServer(model, params, text, image_size=32,
+                             batch_size=4, threshold=0.4,
+                             uint8_transport=True)
+    srv_f32 = InferenceServer(model, params, text, image_size=32,
+                              batch_size=4, threshold=0.4)
+    got = srv_u8.infer(raw)
+    want = srv_f32.infer(norm)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g["semantic"], w["semantic"])

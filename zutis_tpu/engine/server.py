@@ -22,6 +22,13 @@ inference program into a request/response service:
 Synchronous `infer(images)` and future-based `submit(image)` APIs;
 tests/test_server.py checks batching, ordering, and parity with direct
 inference.
+
+Throughput note: the compiled program is the same ~500 img/s/chip step
+bench.py measures; end-to-end serving adds host->device input transfer
+(~113 MB per batch-64 at 384px float32). On TPU-VM-attached hosts that is
+PCIe-negligible; consider uint8 transport + on-device normalisation if the
+ingest link is the bottleneck (the development tunnel here moves ~30 MB/s,
+which caps this path at ~16 img/s and says nothing about real deployments).
 """
 from __future__ import annotations
 
@@ -53,7 +60,11 @@ class InferenceServer:
         mesh=None,
         max_wait_ms: float = 5.0,
         encode_rle: bool = True,
+        uint8_transport: bool = False,
     ):
+        """`uint8_transport=True`: requests are raw [3, S, S] uint8 RGB and
+        ImageNet normalisation runs on device — 4x less host->device traffic
+        (the float path ships ~1.7 MB per 384px image)."""
         self.model = model
         self.image_size = image_size
         self.batch_size = batch_size
@@ -68,8 +79,15 @@ class InferenceServer:
         self._text = text_embeddings
         self._max_wait = max_wait_ms / 1000.0
 
+        from zutis_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32).reshape(1, 3, 1, 1)
+        std = jnp.asarray(IMAGENET_STD, jnp.float32).reshape(1, 3, 1, 1)
+
         @jax.jit
         def step(p, text, images):
+            if uint8_transport:
+                images = (images.astype(jnp.float32) / 255.0 - mean) / std
             out = model.apply({"params": p}, images, inference=True)
             logits = jnp.einsum(
                 "nc,bhwc->bnhw", text, out["patch_tokens"],

@@ -36,3 +36,8 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# CI numeric-guard mode (SURVEY.md section 5 race/sanitizer row): raise on
+# the first NaN-producing op across the whole suite
+if os.environ.get("ZUTIS_DEBUG_NANS") == "1":
+    jax.config.update("jax_debug_nans", True)

@@ -273,3 +273,22 @@ def test_zutis_dino_encoder_family():
     new_params["encoder"] = jax.tree_util.tree_map(jnp.asarray, enc_params)
     out2 = model.apply({"params": new_params}, x)
     assert np.isfinite(np.asarray(out2["patch_tokens"])).all()
+
+
+def test_torch_checkpoint_export_roundtrip(tmp_path):
+    """save_torch_checkpoint -> torch.load -> convert_zutis reproduces the
+    params exactly (the reference's trainer.py:302 load path accepts the
+    file)."""
+    from zutis_tpu.models.weights import save_torch_checkpoint
+    from zutis_tpu.core.checkpoint import load_params_any
+    from zutis_tpu.models.zutis import ZUTIS
+
+    z = ZUTIS(width=32, encoder_layers=1, encoder_heads=2, patch_size=16,
+              text_dim=16, n_queries=5, n_decoder_layers=2, n_heads=2)
+    zp = z.init(jax.random.PRNGKey(3), jnp.zeros((1, 3, 32, 32)))["params"]
+    fp = str(tmp_path / "model.pt")
+    save_torch_checkpoint(zp, fp)
+    back = load_params_any(fp)
+    for a, b in zip(jax.tree_util.tree_leaves(zp),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -242,6 +242,17 @@ def convert_zutis(sd: Mapping[str, Any]) -> dict:
     }
 
 
+def save_torch_checkpoint(params: Mapping[str, Any], path: str) -> None:
+    """Write a torch-loadable reference-layout checkpoint: the reference's
+    own `torch.load(...)` + `load_state_dict(strict=True)` (trainer.py:302)
+    accepts the result, completing the parity bridge in both directions."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_zutis(params).items()}
+    torch.save(sd, path)
+
+
 def export_zutis(params: Mapping[str, Any]) -> Dict[str, np.ndarray]:
     """Inverse of convert_zutis: flax ZUTIS params -> reference-layout
     state_dict (numpy), for .pt-compatible export (SURVEY.md section 5,

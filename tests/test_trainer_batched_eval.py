@@ -81,3 +81,26 @@ def test_imagenet_s_original_size_eval_matches(model_and_params):
     got = _miou_both_paths(model, params, text, ds, batch_images=2)
     assert got["batched"]["Mean IoU"] == got["per_image"]["Mean IoU"]
     assert got["batched"]["Pixel Acc"] == got["per_image"]["Pixel Acc"]
+
+
+def test_rn_exact_shape_batched_eval_matches_per_image():
+    """RN family: exact-shape grouped batching (no padding) must reproduce
+    per-image evaluation bit-identically."""
+    model = ZUTIS(encoder_family="rn", rn_layers=(1, 1, 1, 1), rn_width=8,
+                  width=256, text_dim=16, input_resolution=64,
+                  n_queries=6, n_decoder_layers=1, n_heads=2)
+    params = model.init(jax.random.PRNGKey(2),
+                        jnp.zeros((1, 3, 64, 64)))["params"]
+    rng = np.random.RandomState(3)
+    text = rng.randn(4, 16).astype(np.float32)
+    text /= np.linalg.norm(text, axis=1, keepdims=True)
+    text = jnp.asarray(text)
+    ds = FakeSemanticDataset(
+        "coca", sizes=[(64, 64), (64, 96), (64, 64), (64, 96), (64, 64)],
+        seed=4)
+    out = {}
+    for tag, batch in (("batched", 3), ("per_image", 1)):
+        trainer = Trainer(model, text)
+        out[tag] = trainer.evaluate(params, ds, batch_images=batch)
+    assert out["batched"]["Mean IoU"] == out["per_image"]["Mean IoU"]
+    assert out["batched"]["Pixel Acc"] == out["per_image"]["Pixel Acc"]

@@ -10,7 +10,13 @@ entry is exactly the final normed output, transformer.py:143-147).
 
 TPU-first: batch-first layouts, lax.scan-free static unroll over the 6 layers
 (XLA pipelines them), shared-norm application vectorised over the stacked
-intermediates instead of per-layer appends."""
+intermediates instead of per-layer appends. Because the cross-attention
+memory and its positional embedding are IDENTICAL for every layer, the
+decoder hoists `memory + pos` out of the layer loop (the reference re-adds it
+inside every layer, transformer.py:262-270); each layer still projects its
+own K/V. (A stacked all-layers K/V einsum was measured SLOWER on v5e: it
+materialises 2.7 GB of K/V at once and defeats XLA's projection-into-
+attention fusion.)"""
 from __future__ import annotations
 
 from typing import Optional
@@ -28,39 +34,51 @@ class DecoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
 
-    @nn.compact
+    def setup(self):
+        self.self_attn = MultiHeadAttention(
+            self.d_model, self.heads, dtype=self.dtype,
+            attn_impl=self.attn_impl,
+        )
+        self.cross_attn = MultiHeadAttention(
+            self.d_model, self.heads, dtype=self.dtype,
+            attn_impl=self.attn_impl,
+        )
+        self.norm1 = LayerNorm32()
+        self.norm2 = LayerNorm32()
+        self.norm3 = LayerNorm32()
+        self.linear1 = nn.Dense(self.dim_feedforward, dtype=self.dtype,
+                                param_dtype=jnp.float32)
+        self.linear2 = nn.Dense(self.d_model, dtype=self.dtype,
+                                param_dtype=jnp.float32)
+
     def __call__(
         self,
         tgt: jnp.ndarray,  # [b, q, d]
+        mem_pos: jnp.ndarray,  # [b, s, d] memory + pos (hoisted, shared)
         memory: jnp.ndarray,  # [b, s, d]
-        pos: Optional[jnp.ndarray],  # [b, s, d]
         query_pos: Optional[jnp.ndarray],  # [b, q, d]
         memory_mask: Optional[jnp.ndarray] = None,  # [b, s] valid-key mask
     ) -> jnp.ndarray:
         def add(t, p):
             return t if p is None else t + p
 
-        q = k = add(tgt, query_pos)
-        tgt = tgt + MultiHeadAttention(
-            self.d_model, self.heads, dtype=self.dtype,
-            attn_impl=self.attn_impl, name="self_attn",
-        )(q, k, tgt)
-        tgt = LayerNorm32(name="norm1")(tgt)
+        q = add(tgt, query_pos)
+        tgt = tgt + self.self_attn(q, q, tgt)
+        tgt = self.norm1(tgt)
 
-        tgt = tgt + MultiHeadAttention(
-            self.d_model, self.heads, dtype=self.dtype,
-            attn_impl=self.attn_impl, name="cross_attn",
-        )(add(tgt, query_pos), add(memory, pos), memory,
-          kv_mask=memory_mask)
-        tgt = LayerNorm32(name="norm2")(tgt)
+        tgt = tgt + self.cross_attn.attend_kv(
+            add(tgt, query_pos),
+            self.cross_attn.k_proj(mem_pos, self.dtype),
+            self.cross_attn.v_proj(memory, self.dtype),
+            kv_mask=memory_mask,
+        )
+        tgt = self.norm2(tgt)
 
-        y = nn.Dense(self.dim_feedforward, dtype=self.dtype,
-                     param_dtype=jnp.float32, name="linear1")(tgt)
+        y = self.linear1(tgt)
         y = nn.relu(y)
-        y = nn.Dense(self.d_model, dtype=self.dtype,
-                     param_dtype=jnp.float32, name="linear2")(y)
+        y = self.linear2(y)
         tgt = tgt + y
-        tgt = LayerNorm32(name="norm3")(tgt)
+        tgt = self.norm3(tgt)
         return tgt
 
 
@@ -73,7 +91,16 @@ class QueryDecoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
 
-    @nn.compact
+    def setup(self):
+        self.layers = [
+            DecoderLayer(
+                self.d_model, self.heads, self.dim_feedforward,
+                dtype=self.dtype, attn_impl=self.attn_impl,
+            )
+            for _ in range(self.num_layers)
+        ]
+        self.norm = LayerNorm32()
+
     def __call__(
         self,
         tgt: jnp.ndarray,
@@ -84,17 +111,15 @@ class QueryDecoder(nn.Module):
     ) -> jnp.ndarray:
         """Returns [n_layers, b, q, d] if return_intermediate else [1, b, q, d];
         every slice is passed through the shared final norm."""
-        norm = LayerNorm32(name="norm")
+        mem_pos = memory if pos is None else memory + pos
         outputs = []
         x = tgt
-        for i in range(self.num_layers):
-            x = DecoderLayer(
-                self.d_model, self.heads, self.dim_feedforward,
-                dtype=self.dtype, attn_impl=self.attn_impl, name=f"layers_{i}",
-            )(x, memory, pos, query_pos, memory_mask=memory_mask)
+        for layer in self.layers:
+            x = layer(x, mem_pos, memory, query_pos,
+                      memory_mask=memory_mask)
             if self.return_intermediate:
                 outputs.append(x)
         if not self.return_intermediate:
             outputs = [x]
         stacked = jnp.stack(outputs, axis=0)  # [L, b, q, d]
-        return norm(stacked)
+        return self.norm(stacked)

@@ -25,14 +25,7 @@ import jax
 import jax.numpy as jnp
 
 
-def dot_product_attention(
-    q: jnp.ndarray,  # [b, h, sq, d]
-    k: jnp.ndarray,  # [b, h, sk, d]
-    v: jnp.ndarray,  # [b, h, sk, d]
-    bias: Optional[jnp.ndarray] = None,  # broadcastable to [b, h, sq, sk]
-    kv_mask: Optional[jnp.ndarray] = None,  # [b, sk] valid-key mask
-    impl: str = "auto",
-) -> jnp.ndarray:
+def _resolve_impl(impl: str, bias) -> str:
     if impl == "auto":
         pref = os.environ.get("ZUTIS_TPU_ATTN", "xla")
         impl = (
@@ -41,6 +34,55 @@ def dot_product_attention(
             and jax.default_backend() == "tpu"
             else "xla"
         )
+    if impl == "pallas" and bias is not None:
+        # the fused kernel supports key-validity masks only; a dense additive
+        # bias (e.g. the text tower's causal mask) must take the xla path
+        # rather than be silently dropped (ADVICE r2)
+        impl = "xla"
+    return impl
+
+
+def _softmax_weights(logits, scale, bias, kv_mask, compute_dtype):
+    """Softmax over the last axis with f32 statistics; logits arrive
+    pre-scale in f32, shaped [b, h, sq, sk]."""
+    logits = logits * scale
+    if compute_dtype == jnp.float32:
+        if bias is not None:
+            logits = logits + bias.astype(jnp.float32)
+        if kv_mask is not None:
+            logits = jnp.where(kv_mask[:, None, None, :] > 0, logits, -1e30)
+        return jax.nn.softmax(logits, axis=-1)
+    # bf16 fast path: max-free softmax. The row-max subtraction exists
+    # only for overflow safety; clamping to +-80 (exp(80)~5.5e34, row
+    # sums < 3e37 << f32 max) gives the same safety with one fewer
+    # full pass over the [b,h,sq,sk] tensor — the softmax passes are
+    # this path's single largest cost. Values beyond +-80 only occur
+    # where softmax already saturates.
+    logits = jnp.clip(logits, -80.0, 80.0)
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if kv_mask is not None:
+        # -200: exp underflows to exactly 0, so masked keys get zero
+        # weight without re-introducing overflow risk
+        logits = jnp.where(kv_mask[:, None, None, :] > 0, logits, -200.0)
+    e = jnp.exp(logits)
+    # the denominator guard covers the all-keys-masked row (every
+    # exp(-200) underflows to exactly 0): those rows produce 0-weights
+    # rather than NaN. NOTE the +-80 clip precedes the bias add, so
+    # overflow safety relies on biases being bounded (all current
+    # callers pass causal/padding masks, i.e. non-positive biases).
+    return e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+
+
+def dot_product_attention(
+    q: jnp.ndarray,  # [b, h, sq, d]
+    k: jnp.ndarray,  # [b, h, sk, d]
+    v: jnp.ndarray,  # [b, h, sk, d]
+    bias=None,  # broadcastable to [b, h, sq, sk]
+    kv_mask=None,  # [b, sk] valid-key mask
+    impl: str = "auto",
+) -> jnp.ndarray:
+    impl = _resolve_impl(impl, bias)
     if impl == "pallas":
         from zutis_tpu.ops.flash_attention import flash_attention
 
@@ -48,34 +90,43 @@ def dot_product_attention(
     scale = q.shape[-1] ** -0.5
     # bf16 activations: materialise the [b,h,sq,sk] logits in bf16 (the MXU
     # still accumulates fp32 and rounds once at the store) — the logits
-    # tensor dominates HBM traffic on this path, and softmax statistics are
-    # computed in fp32 regardless via the fused upcast below.
+    # tensor dominates HBM traffic on this path; softmax statistics are
+    # computed in fp32 via the fused upcast in _softmax_weights.
     store_dtype = jnp.float32 if q.dtype == jnp.float32 else q.dtype
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=store_dtype
-    )
-    logits = logits.astype(jnp.float32) * scale
-    if q.dtype == jnp.float32:
-        if bias is not None:
-            logits = logits + bias.astype(jnp.float32)
-        if kv_mask is not None:
-            logits = jnp.where(kv_mask[:, None, None, :] > 0, logits, -1e30)
-        weights = jax.nn.softmax(logits, axis=-1)
-    else:
-        # bf16 fast path: max-free softmax. The row-max subtraction exists
-        # only for overflow safety; clamping to +-80 (exp(80)~5.5e34, row
-        # sums < 3e37 << f32 max) gives the same safety with one fewer
-        # full pass over the [b,h,sq,sk] tensor — the softmax passes are
-        # this path's single largest cost (measured: ~34ms of a 154ms
-        # ViT-B/16 batch-64 forward). Values beyond +-80 only occur where
-        # softmax already saturates.
-        logits = jnp.clip(logits, -80.0, 80.0)
-        if bias is not None:
-            logits = logits + bias.astype(jnp.float32)
-        if kv_mask is not None:
-            # -200: exp underflows to exactly 0, so masked keys get zero
-            # weight without re-introducing overflow risk
-            logits = jnp.where(kv_mask[:, None, None, :] > 0, logits, -200.0)
-        e = jnp.exp(logits)
-        weights = e / jnp.sum(e, axis=-1, keepdims=True)
+    ).astype(jnp.float32)
+    weights = _softmax_weights(logits, scale, bias, kv_mask, q.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v.dtype), v)
+
+
+def dot_product_attention_bshd(
+    q: jnp.ndarray,  # [b, sq, h, d]
+    k: jnp.ndarray,  # [b, sk, h, d]
+    v: jnp.ndarray,  # [b, sk, h, d]
+    bias=None,  # broadcastable to [b, h, sq, sk]
+    kv_mask=None,  # [b, sk] valid-key mask
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Attention over head-split projections in their NATIVE [b, s, h, d]
+    layout (a free reshape of the projection output). On the XLA path the
+    head axis is a dot batch dim read in place, so no [b,s,hd] -> [b,h,s,d]
+    transpose is ever materialised — the r2 program spent ~4 ms/step on
+    exactly those copies (3 per encoder layer; tools/trace_report.py).
+    Returns [b, sq, h, d]."""
+    impl = _resolve_impl(impl, bias)
+    if impl == "pallas":
+        from zutis_tpu.ops.flash_attention import flash_attention
+
+        out = flash_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), kv_mask=kv_mask,
+        )
+        return out.transpose(0, 2, 1, 3)
+    scale = q.shape[-1] ** -0.5
+    store_dtype = jnp.float32 if q.dtype == jnp.float32 else q.dtype
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=store_dtype
+    ).astype(jnp.float32)
+    weights = _softmax_weights(logits, scale, bias, kv_mask, q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", weights.astype(v.dtype), v)

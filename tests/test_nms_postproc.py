@@ -116,6 +116,29 @@ def test_all_nms_types_match_reference_resort_semantics(nms_type):
                                want_scores[want_keep], rtol=1e-5)
 
 
+def test_below_floor_initial_score_is_still_selected():
+    """A candidate whose ORIGINAL score is <= the 0.001 floor is still kept
+    when it becomes its category's max: the reference floor-checks only after
+    re-weighting (zutis.py:268-272), never on entry (ADVICE r2 repro)."""
+    masks = np.zeros((2, 8, 8), bool)
+    masks[0, :4, :4] = True
+    masks[1, 4:, 4:] = True  # disjoint (IoU = 0)
+    scores = np.array([0.5, 0.0005], np.float32)
+    # different categories: mask 1 is never re-weighted, so it survives to
+    # become category 2's max and is kept despite its below-floor score
+    keep, out_scores = mask_nms(
+        jnp.asarray(masks), jnp.asarray(scores),
+        jnp.asarray([1, 2], dtype=np.int32))
+    assert np.asarray(keep).tolist() == [True, True]
+    np.testing.assert_allclose(np.asarray(out_scores), scores)
+    # same category: after mask 0 is selected, mask 1 IS re-weighted (w=1.0
+    # at IoU 0) and then floor-checked -> dropped (reference zutis.py:268-272)
+    keep, _ = mask_nms(
+        jnp.asarray(masks), jnp.asarray(scores),
+        jnp.asarray([1, 1], dtype=np.int32))
+    assert np.asarray(keep).tolist() == [True, False]
+
+
 def test_running_score_matches_manual():
     rs = RunningScore(3)
     gt = np.array([[0, 1, 2, 1], [255, 0, 1, 2]])

@@ -172,6 +172,7 @@ class AdvancedCopyPaste:
         semantic = bg_mask * int(category_ids[0])
 
         n_instances = 1
+        inst_category_ids = [int(category_ids[0])]
         for obj_i, patch_index in enumerate(patch_indices):
             image, mask = images[1 + obj_i], binary_masks[1 + obj_i]
             ymin, ymax, xmin, xmax = mask_to_bbox(mask)
@@ -199,6 +200,7 @@ class AdvancedCopyPaste:
             bg_img[:, region[0], region[1]][:, m] = image[:, m]
             bg_mask[region][m] = n_instances
             semantic[region][m] = int(category_ids[1 + obj_i])
+            inst_category_ids.append(int(category_ids[1 + obj_i]))
 
         if (bg_mask == 0).any() and (bg_mask > 0).any():
             # background regions take the mean object colour (reference
@@ -213,4 +215,9 @@ class AdvancedCopyPaste:
             "semantic_mask": semantic,
             "instance_mask": instance.astype(np.float32),
             "n_instances": n_instances,
+            # category id per ACTUALLY-pasted instance (slot k of
+            # instance_mask), so callers never reconstruct them positionally
+            # from patch order — objects skipped by the continue paths above
+            # would misalign that reconstruction (ADVICE r2)
+            "instance_category_ids": np.asarray(inst_category_ids, np.int32),
         }

@@ -64,9 +64,12 @@ def mask_nms(
             w = jnp.exp(-(iou_i ** 2) / sigma)
         apply_w = selected & same_cat[i] & candidate
         cur_scores = cur_scores * jnp.where(apply_w, w, 1.0)
-        # survivors below the floor leave the candidate pool (reference
-        # zutis.py:268-272); already-kept entries are untouched
-        candidate = candidate & (cur_scores > score_floor)
+        # the floor sweep applies ONLY to candidates re-weighted this round:
+        # the reference (zutis.py:268-272) floor-checks survivors after each
+        # re-weighting, but a candidate whose ORIGINAL score is <= 0.001 is
+        # still selected when it becomes its category's max; already-kept
+        # entries are untouched
+        candidate = candidate & (~apply_w | (cur_scores > score_floor))
         return keep, cur_scores, candidate
 
     keep, out_scores, _ = jax.lax.fori_loop(

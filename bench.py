@@ -4,37 +4,38 @@ on one TPU chip, against the reference's published 43.5 img/s
 
 The measured program is the HONEST dense-inference step at 384x384 in bf16:
 ZUTIS forward — CLIP ViT-B/16 encoder, 6-layer query decoder over the
-x2-upsampled token grid, last-layer mask-proposal einsum, text-space
-projection — plus the 919-category semantic argmax and per-query objectness
-maxima, jitted end-to-end. (Round 1's bench returned only the semantic map,
-which let XLA dead-code-eliminate the decoder; this program keeps every
-component the reference's forward computes live.)
+x2-upsampled token grid, the final-layer mask-proposal einsum (prediction
+consumes only the last decoder layer, reference networks/zutis.py:379-382),
+text-space projection — plus the 919-category semantic argmax and per-query
+objectness maxima, jitted end-to-end. Inference params are pre-cast to bf16
+(flax would cast f32->bf16 inside the program anyway; pre-casting removes
+the converts and halves weight HBM reads — numerics identical).
 
 Roofline context for the >=2,000 img/s/chip north star (BASELINE.md):
-  - The program executes ~156 GFLOP/image in matmuls (encoder ~110, decoder
-    head ~44, semantic einsum ~2). One v5e chip peaks at ~197 bf16 TFLOP/s
-    (measured 178 TF/s on a 4096^3 chain = 90% of peak), so even a 100%-MXU
-    execution of these FLOPs caps at ~1,260 img/s at 384px — the 2,000
-    target is unreachable for this exact program on one chip. int8 was
-    measured at PARITY with bf16 under this runtime (no MXU int8 speedup is
-    exposed through XLA here), so the remaining levers are algorithmic
-    (fewer tokens/lower resolution at matched accuracy) or multi-chip
-    scaling, which a per-chip metric does not credit.
-  - Measured composition at batch 64 (fp-forced timings): non-attention
-    encoder work ~65 ms, attention matmuls ~23 ms, softmax ~34 ms (reduced
-    by the clamped max-free bf16 softmax in ops/attention.py), decoder head
-    ~32 ms, semantic argmax ~6 ms.
-  - The fused Pallas attention kernel (ops/flash_attention.py) removes the
-    logits round-trips entirely, but THIS environment's tunnelled TPU
-    runtime nondeterministically wedges on any Pallas dispatch (jax's own
-    flash kernel included), so the shipped default is the tuned XLA path
-    and the kernel is opt-in via ZUTIS_TPU_ATTN=pallas.
+  - ~156 GFLOP/image of matmuls vs ~197 bf16 TFLOP/s/chip peak caps a
+    100%-MXU execution at ~1,260 img/s at 384px; 2,000 is unreachable for
+    this exact program on one chip (see PERF.md for the measured per-op
+    breakdown: the large matmuls run at 90-94% MFU, and the residual is
+    attention-softmax overhead at head_dim 64).
+  - Every tuned Pallas flash-attention variant (including jax's own kernel
+    at aligned 640-token blocks) measured SLOWER than XLA's fused
+    bf16-logits attention at these shapes (4.2-4.6 ms vs 2.05 ms/layer
+    in-program) — hardware-verified in PALLAS_QUALIFY.json, so the shipped
+    default stays the tuned XLA path (ZUTIS_TPU_ATTN=pallas remains the
+    opt-in fused kernel).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+A second JSON line reports the jitted TRAINING step rate at the reference
+ImageNet-S configuration (batch 8, 384px, 919 categories, 10-instance
+Hungarian dice+BCE criterion, AdamW + PolyLR — configs/*.yaml), replacing
+the hand-measured README number (VERDICT r2 task 7).
+
+Prints JSON lines: the headline dense-inference metric first.
 """
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -61,13 +62,10 @@ def build_infer(model, params, text):
     return lambda p, image: infer(p, image)
 
 
-def main():
+def measure_inference(rng) -> float:
     import jax
     import jax.numpy as jnp
-    from zutis_tpu.core.cache import enable_compilation_cache
     from zutis_tpu.models import ZUTIS
-
-    enable_compilation_cache()
 
     image_size = 384
     n_cat = 919  # ImageNet-S benchmark width
@@ -76,10 +74,12 @@ def main():
         text_dim=512, n_queries=100, n_decoder_layers=6, n_heads=8,
         input_resolution=224, dtype=jnp.bfloat16,
     )
-    rng = np.random.RandomState(0)
     init_x = jnp.asarray(rng.randn(1, 3, image_size, image_size)
                          .astype(np.float32))
     params = model.init(jax.random.PRNGKey(0), init_x)["params"]
+    # bf16 inference weights (LN scales/biases stay f32 — 1-D params)
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.ndim > 1 else x, params)
     text = rng.randn(n_cat, 512).astype(np.float32)
     text /= np.linalg.norm(text, axis=1, keepdims=True)
     text = jnp.asarray(text)
@@ -100,20 +100,93 @@ def main():
         return batch * n_iters / dt
 
     best = 0.0
-    for batch in (192, 128):
+    for batch in (64, 96, 48):
         try:
             best = max(best, measure(batch))
         except Exception:
             continue
     assert best > 0, "no batch size fit on the chip"
+    return best
 
+
+def measure_train(rng) -> float:
+    """Jitted train-step rate at the reference ImageNet-S config shapes."""
+    import jax
+    import jax.numpy as jnp
+    from zutis_tpu.engine.optim import make_optimizer
+    from zutis_tpu.engine.train_step import TrainState, make_train_step
+    from zutis_tpu.models import ZUTIS
+
+    batch, image_size, n_cat, n_max = 8, 384, 919, 10
+    n_iters_schedule = 80_000  # configs/imagenet_s_*.yaml n_iters
+    model = ZUTIS(
+        width=768, encoder_layers=12, encoder_heads=12, patch_size=16,
+        text_dim=512, n_queries=100, n_decoder_layers=6, n_heads=8,
+        input_resolution=224, dtype=jnp.bfloat16,
+    )
+    init_x = jnp.asarray(rng.randn(1, 3, image_size, image_size)
+                         .astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), init_x)["params"]
+    text = rng.randn(n_cat, 512).astype(np.float32)
+    text = jnp.asarray(text / np.linalg.norm(text, axis=1, keepdims=True))
+    tx = make_optimizer(base_lr=5e-5, n_iters=n_iters_schedule)
+    state = TrainState.create(params, tx)
+    step_fn = make_train_step(model, tx, text, n_categories=n_cat,
+                              ignore_index=1000)
+
+    sem = rng.randint(0, n_cat, (batch, image_size, image_size))
+    masks = (rng.rand(batch, n_max, image_size, image_size) > 0.7)
+    batch_data = {
+        "image": jnp.asarray(
+            rng.randn(batch, 3, image_size, image_size).astype(np.float32)),
+        "instance_masks": jnp.asarray(masks.astype(np.float32)),
+        "instance_valid": jnp.asarray(
+            np.arange(n_max)[None] < 4, dtype=bool
+        ).repeat(batch, axis=0),
+        "semantic_mask": jnp.asarray(sem.astype(np.int32)),
+    }
+    state, metrics = step_fn(state, batch_data)  # compile + warm
+    float(metrics["loss"])
+    n = 20
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, metrics = step_fn(state, batch_data)
+    float(metrics["loss"])  # forced fetch
+    dt = time.perf_counter() - t0
+    return n / dt
+
+
+def main():
+    from zutis_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    rng = np.random.RandomState(0)
+
+    best = measure_inference(rng)
     baseline = 43.5  # reference ViT-B/16 dense inference img/s
     print(json.dumps({
         "metric": "vit_b16_dense_mask_inference_throughput",
         "value": round(best, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(best / baseline, 2),
-    }))
+    }), flush=True)
+
+    try:
+        its = measure_train(rng)
+        print(json.dumps({
+            "metric": "train_step_its_per_sec",
+            "value": round(its, 2),
+            "unit": "iters/sec (batch 8, 384px, ref config)",
+            "vs_baseline": None,
+        }), flush=True)
+    except Exception as e:  # the headline metric above is already out
+        print(json.dumps({"metric": "train_step_its_per_sec",
+                          "error": str(e)[:200]}), flush=True)
+
+    sys.stdout.flush()
+    # jax runtime teardown can hang under the tunnelled TPU backend; all
+    # output is flushed, so exit without running atexit teardown
+    os._exit(0)
 
 
 if __name__ == "__main__":

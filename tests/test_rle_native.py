@@ -68,3 +68,134 @@ def test_batch_encode_matches_single():
     got = native_encode_batch(masks)
     want = [rle_ops.encode(m)["counts"] for m in masks]
     assert got == want
+
+
+def test_packed_batch_matches_python_codec():
+    """Device bit-packing + C++ word-scan == numpy codec, byte for byte,
+    including bbox/area sidecars — exact native windows."""
+    import jax.numpy as jnp
+
+    from zutis_tpu.native import native_encode_packed
+    from zutis_tpu.postproc.instance import (
+        col_stride_bits, pack_masks_fortran,
+    )
+
+    rng = np.random.default_rng(3)
+    for m in _random_masks(rng, n=16):
+        h, w = m.shape
+        packed = np.asarray(pack_masks_fortran(jnp.asarray(m[None] > 0)))
+        strings, bboxes, areas = native_encode_packed(
+            packed, np.array([0]), col_stride_bits(h),
+            np.array([h]), np.array([w]))
+        want = rle_ops.encode(m)
+        assert strings[0] == want["counts"], (h, w)
+        assert areas[0] == int(m.sum())
+        if m.any():
+            assert [float(v) for v in bboxes[0]] == rle_ops.to_bbox(m)
+
+
+def test_packed_batch_windowed_bucket():
+    """Bucket-padded masks encode only their native (h, w) window — the
+    batched-eval layout (engine/batched_eval.py)."""
+    import jax.numpy as jnp
+
+    from zutis_tpu.native import native_encode_packed
+    from zutis_tpu.postproc.instance import pack_masks_fortran
+
+    rng = np.random.default_rng(4)
+    Hb, Wb = 64, 48
+    n = 6
+    masks = np.zeros((n, Hb, Wb), bool)
+    hs = rng.integers(1, Hb + 1, n).astype(np.int32)
+    ws = rng.integers(1, Wb + 1, n).astype(np.int32)
+    for i in range(n):
+        masks[i, :hs[i], :ws[i]] = rng.random((hs[i], ws[i])) < 0.6
+    packed = np.asarray(pack_masks_fortran(jnp.asarray(masks)))
+    strings, bboxes, areas = native_encode_packed(
+        packed, np.arange(n), Hb, hs, ws)
+    for i in range(n):
+        native = masks[i, :hs[i], :ws[i]].astype(np.uint8)
+        assert strings[i] == rle_ops.encode(native)["counts"], i
+        assert areas[i] == int(native.sum())
+
+
+def test_packed_fallback_without_native(monkeypatch):
+    """No toolchain: the packed path unpacks on host and uses the numpy
+    codec — same predictions."""
+    import jax.numpy as jnp
+
+    import zutis_tpu.native as native_mod
+    from zutis_tpu.postproc.instance import (
+        col_stride_bits, instances_to_coco, instances_to_coco_packed,
+        pack_masks_fortran,
+    )
+
+    monkeypatch.setattr(native_mod, "native_encode_packed",
+                        lambda *a, **k: None)
+    rng = np.random.default_rng(6)
+    b, q, H, W = 2, 4, 21, 18
+    masks = rng.random((b, q, H, W)) < 0.4
+    dev = {
+        "masks": masks,
+        "scores": rng.random((b, q)).astype(np.float32),
+        "category_ids": rng.integers(0, 3, (b, q)),
+        "keep": np.ones((b, q), bool),
+    }
+    want = instances_to_coco(dev, image_ids=[1, 2])
+    packed_dev = {
+        "masks_packed": np.asarray(pack_masks_fortran(jnp.asarray(masks))),
+        "scores": dev["scores"],
+        "category_ids": dev["category_ids"],
+        "keep": dev["keep"],
+        "col_stride_bits": col_stride_bits(H),
+    }
+    got = instances_to_coco_packed(packed_dev, image_ids=[1, 2],
+                                   sizes=[(H, W)] * 2)
+    assert len(got) == len(want)
+    for g, w_ in zip(got, want):
+        assert g["segmentation"]["counts"] == w_["segmentation"]["counts"]
+        assert g["bbox"] == w_["bbox"]
+
+
+def test_instances_to_coco_packed_equals_dense():
+    """The packed assembly path produces the same predictions as the dense
+    instances_to_coco on identical device output."""
+    import jax.numpy as jnp
+
+    from zutis_tpu.postproc.instance import (
+        col_stride_bits, instances_to_coco, instances_to_coco_packed,
+        pack_masks_fortran,
+    )
+
+    rng = np.random.default_rng(5)
+    b, q, H, W = 3, 5, 37, 29
+    masks = rng.random((b, q, H, W)) < 0.3
+    masks[0, 1] = False  # empty kept mask is skipped by both paths
+    dev = {
+        "masks": masks,
+        "scores": rng.random((b, q)).astype(np.float32),
+        "category_ids": rng.integers(0, 7, (b, q)),
+        "keep": rng.random((b, q)) < 0.6,
+    }
+    want = instances_to_coco(dev, image_ids=[10, 11, 12],
+                             new_label_id_to_old_label_id={i: i + 100
+                                                           for i in range(7)})
+    packed_dev = {
+        "masks_packed": np.asarray(pack_masks_fortran(jnp.asarray(masks))),
+        "scores": dev["scores"],
+        "category_ids": dev["category_ids"],
+        "keep": dev["keep"],
+        "col_stride_bits": col_stride_bits(H),
+    }
+    got = instances_to_coco_packed(
+        packed_dev, image_ids=[10, 11, 12], sizes=[(H, W)] * 3,
+        new_label_id_to_old_label_id={i: i + 100 for i in range(7)})
+    assert len(got) == len(want)
+    for g, w_ in zip(got, want):
+        assert g["category_id"] == w_["category_id"]
+        assert g["image_id"] == w_["image_id"]
+        assert g["segmentation"]["counts"] == w_["segmentation"]["counts"]
+        assert g["segmentation"]["size"] == w_["segmentation"]["size"]
+        assert g["bbox"] == w_["bbox"]
+        assert abs(g["score"] - w_["score"]) < 1e-6
+        assert g["image_size"] == w_["image_size"]

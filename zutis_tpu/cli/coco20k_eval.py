@@ -58,7 +58,7 @@ def main(argv=None):
     from zutis_tpu.engine.coco_eval import COCOEvaluator
     from zutis_tpu.models.factory import build_zutis
     from zutis_tpu.postproc.instance import (
-        instances_to_coco, predict_instances_device,
+        col_stride_bits, instances_to_coco_packed, predict_instances_device,
     )
 
     enable_compilation_cache()
@@ -93,15 +93,18 @@ def main(argv=None):
 
     n_visualised = [0]
 
-    def maybe_visualise(image_id, image, res, j, H, W):
+    def maybe_visualise(image_id, image, dev_masks, res, j, H, W):
+        """res holds the fetched small arrays; dev_masks stays on device and
+        only the visualised image's [Q, H, W] slice is pulled over."""
         if n_visualised[0] >= args.visualise_first:
             return
         from zutis_tpu.engine.visualiser import instance_overlay
 
         keep = np.flatnonzero(res["keep"][j])
+        masks_j = np.asarray(dev_masks[j])
         instance_overlay(
             image,
-            res["masks"][j, keep, :H, :W],
+            masks_j[keep, :H, :W],
             [float(res["scores"][j, k]) for k in keep],
             [str(int(res["category_ids"][j, k])) for k in keep],
             f"{dir_ckpt}/overlay_{image_id}.png",
@@ -127,22 +130,26 @@ def main(argv=None):
                 steps[shape] = BE.make_instance_step(
                     model, text_embeddings, shape,
                     threshold=args.threshold, nms_type=args.nms_type)
-            res = {k: np.asarray(v) for k, v in steps[shape](
+            dev = steps[shape](
                 params, jnp.asarray(padded), jnp.asarray(native_grid),
-                jnp.asarray(native_pixels)).items()}
+                jnp.asarray(native_pixels))
+            # fetch everything EXCEPT the dense masks — the packed bits plus
+            # the per-query scalars are ~1/8 the traffic, and the C++ codec
+            # encodes straight from them
+            res = {k: np.asarray(v) for k, v in dev.items()
+                   if k not in ("masks", "semantic")}
+            res["col_stride_bits"] = shape[0]
             for j, (image_id, img) in enumerate(items):
                 H, W = img.shape[-2:]
-                maybe_visualise(image_id, img, res, j, H, W)
-                predictions.extend(instances_to_coco(
-                    {
-                        "masks": res["masks"][j:j + 1, :, :H, :W],
-                        "scores": res["scores"][j:j + 1],
-                        "category_ids": res["category_ids"][j:j + 1],
-                        "keep": res["keep"][j:j + 1],
-                    },
-                    image_ids=[image_id],
-                    new_label_id_to_old_label_id=new_label_id_to_old_label_id,
-                ))
+                maybe_visualise(image_id, img, dev["masks"], res, j, H, W)
+            predictions.extend(instances_to_coco_packed(
+                {k: res[k] for k in ("masks_packed", "scores",
+                                     "category_ids", "keep",
+                                     "col_stride_bits")},
+                image_ids=[iid for iid, _ in items],
+                sizes=[tuple(img.shape[-2:]) for _, img in items],
+                new_label_id_to_old_label_id=new_label_id_to_old_label_id,
+            ))
 
         for image_id in image_ids:
             img = load_image(image_id)
@@ -165,13 +172,16 @@ def main(argv=None):
             dev = predict_instances_device(
                 out["mask_proposals"], out["patch_tokens"], text_embeddings,
                 size=(int(H), int(W)), threshold=args.threshold,
-                nms_type=args.nms_type,
+                nms_type=args.nms_type, pack=True,
             )
-            res = {k: np.asarray(v) for k, v in dev.items()}
-            maybe_visualise(image_id, img_np, res, 0, int(H), int(W))
-            predictions.extend(instances_to_coco(
+            res = {k: np.asarray(v) for k, v in dev.items() if k != "masks"}
+            res["col_stride_bits"] = col_stride_bits(int(H))
+            maybe_visualise(image_id, img_np, dev["masks"], res, 0,
+                            int(H), int(W))
+            predictions.extend(instances_to_coco_packed(
                 res,
                 image_ids=[image_id],
+                sizes=[(int(H), int(W))],
                 new_label_id_to_old_label_id=new_label_id_to_old_label_id,
             ))
     eval_seconds = time.time() - t0

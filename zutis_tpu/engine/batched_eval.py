@@ -148,9 +148,12 @@ def make_instance_step(
     threshold: float = 0.5, temperature: float = 5.0,
     nms_type: str = "hard", nms_threshold: float = 0.3,
 ):
-    """jitted: -> dict(masks [B,Q,Hb,Wb] bool, scores, category_ids, keep,
-    semantic [B,Hb,Wb]) — reference predict("instance") semantics
-    (networks/zutis.py:374-470) on each valid window."""
+    """jitted: -> dict(masks [B,Q,Hb,Wb] bool, masks_packed [B,Q,nbytes]
+    uint8, scores, category_ids, keep, semantic [B,Hb,Wb]) — reference
+    predict("instance") semantics (networks/zutis.py:374-470) on each valid
+    window. Hosts should fetch `masks_packed` (Fortran-order bits, column
+    stride Hb) and decode kept masks with the packed C++ codec; `masks`
+    stays device-side for visualisation slices."""
 
     @jax.jit
     def step(params, images, native_grid, native_pixels):
@@ -201,8 +204,11 @@ def make_instance_step(
         sem = jnp.einsum("boh,bchw->bcow", wh, logits)
         sem = jnp.einsum("bow,bchw->bcho", ww, sem)
         semantic = jnp.argmax(sem, axis=1).astype(jnp.int32)
+        from zutis_tpu.postproc.instance import pack_masks_fortran
+
         return {
-            "masks": masks, "scores": out_scores,
+            "masks": masks, "masks_packed": pack_masks_fortran(masks),
+            "scores": out_scores,
             "category_ids": category_ids, "keep": keep,
             "semantic": semantic,
         }

@@ -33,7 +33,8 @@ from zutis_tpu.engine.train_step import TrainState, make_train_step
 from zutis_tpu.models.weights import export_zutis
 from zutis_tpu.ops.resize import resize_2d
 from zutis_tpu.postproc.instance import (
-    instances_to_coco,
+    col_stride_bits,
+    instances_to_coco_packed,
     predict_instances_device,
 )
 
@@ -327,11 +328,15 @@ class Trainer:
             if want_instances:
                 dev = predict_instances_device(
                     out["mask_proposals"], out["patch_tokens"],
-                    self.text_embeddings, size=(H, W),
+                    self.text_embeddings, size=(H, W), pack=True,
                 )
-                instance_predictions.extend(instances_to_coco(
-                    {k: np.asarray(v) for k, v in dev.items()},
+                res = {k: np.asarray(v) for k, v in dev.items()
+                       if k != "masks"}
+                res["col_stride_bits"] = col_stride_bits(H)
+                instance_predictions.extend(instances_to_coco_packed(
+                    res,
                     image_ids=[s["image_id"] for s in items],
+                    sizes=[(H, W)] * len(items),
                     new_label_id_to_old_label_id=new_label_id_to_old_label_id,
                 ))
             for j, s in enumerate(items):
@@ -377,11 +382,15 @@ class Trainer:
             if dataset_name == "coco2017":
                 dev = predict_instances_device(
                     out["mask_proposals"], out["patch_tokens"],
-                    self.text_embeddings, size=(int(H), int(W)),
+                    self.text_embeddings, size=(int(H), int(W)), pack=True,
                 )
-                preds = instances_to_coco(
-                    {k: np.asarray(v) for k, v in dev.items()},
+                res = {k: np.asarray(v) for k, v in dev.items()
+                       if k != "masks"}
+                res["col_stride_bits"] = col_stride_bits(int(H))
+                preds = instances_to_coco_packed(
+                    res,
                     image_ids=[sample["image_id"]],
+                    sizes=[(int(H), int(W))],
                     new_label_id_to_old_label_id=new_label_id_to_old_label_id,
                 )
                 instance_predictions.extend(preds)
@@ -426,7 +435,10 @@ class Trainer:
                 jnp.asarray(out_pixels),
             )
             if want_instances:
-                result = {k: np.asarray(v) for k, v in result.items()}
+                # dense masks stay on device; the packed bits carry the
+                # segmentation across the host boundary at 1 bit/pixel
+                result = {k: np.asarray(v) for k, v in result.items()
+                          if k != "masks"}
                 sem = result["semantic"]
             else:
                 sem = np.asarray(result)
@@ -435,19 +447,14 @@ class Trainer:
                 if "semantic_mask" in s:
                     metric_meter.update(
                         s["semantic_mask"][None], sem[j, :H, :W][None])
-                if want_instances:
-                    preds = instances_to_coco(
-                        {
-                            "masks": result["masks"][j:j + 1, :, :H, :W],
-                            "scores": result["scores"][j:j + 1],
-                            "category_ids": result["category_ids"][j:j + 1],
-                            "keep": result["keep"][j:j + 1],
-                        },
-                        image_ids=[s["image_id"]],
-                        new_label_id_to_old_label_id=(
-                            new_label_id_to_old_label_id),
-                    )
-                    instance_predictions.extend(preds)
+            if want_instances:
+                result["col_stride_bits"] = out_shape[0]
+                instance_predictions.extend(instances_to_coco_packed(
+                    result,
+                    image_ids=[s["image_id"] for s in items],
+                    sizes=[self._target_hw(s, dataset_name) for s in items],
+                    new_label_id_to_old_label_id=new_label_id_to_old_label_id,
+                ))
 
         for i in range(n):
             sample = dataset[i]

@@ -66,6 +66,14 @@ def load_rle_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int),
     ]
+    lib.rle_encode_packed_batch.restype = ctypes.c_int
+    lib.rle_encode_packed_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int64),
+    ]
     _lib = lib
     return _lib
 
@@ -96,6 +104,53 @@ def native_decode(counts: str, h: int, w: int) -> Optional[np.ndarray]:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     assert rc == 0, "malformed RLE"
     return out
+
+
+def native_encode_packed(
+    packed: np.ndarray,  # [n_masks, stride_bytes] uint8, F-order packed bits
+    sel: np.ndarray,  # [n_sel] int32 indices into the mask axis
+    col_stride_bits: int,  # padded rows per column (multiple of 8)
+    hs: np.ndarray,  # [n_sel] native rows per selected mask
+    ws: np.ndarray,  # [n_sel] native cols per selected mask
+):
+    """C++ batch encode of packed-bit masks over their native windows.
+    -> (counts strings, bboxes [n_sel, 4] xyxy int, areas [n_sel] int64),
+    or None when the native lib is unavailable."""
+    lib = load_rle_lib()
+    if lib is None:
+        return None
+    packed = np.ascontiguousarray(packed.reshape(packed.shape[0], -1),
+                                  dtype=np.uint8)
+    sel = np.ascontiguousarray(sel, dtype=np.int32)
+    hs = np.ascontiguousarray(hs, dtype=np.int32)
+    ws = np.ascontiguousarray(ws, dtype=np.int32)
+    n_sel = len(sel)
+    if n_sel == 0:
+        return [], np.zeros((0, 4), np.int32), np.zeros((0,), np.int64)
+    bboxes = np.zeros((n_sel, 4), np.int32)
+    areas = np.zeros((n_sel,), np.int64)
+    offsets = (ctypes.c_int * n_sel)()
+    # worst case ~1 char per pixel; start smaller and retry on overflow
+    cap = int(hs.astype(np.int64) @ ws.astype(np.int64) // 4 + 4096 * n_sel)
+    while True:
+        out = ctypes.create_string_buffer(cap)
+        total = lib.rle_encode_packed_batch(
+            packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            packed.strides[0], sel.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            n_sel, col_stride_bits,
+            hs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            ws.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            out, cap, offsets,
+            bboxes.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            areas.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        if total >= 0:
+            break
+        cap *= 4
+    bounds = list(offsets) + [total]
+    raw = out.raw
+    strings = [raw[bounds[i]:bounds[i + 1]].decode("ascii")
+               for i in range(n_sel)]
+    return strings, bboxes, areas
 
 
 def native_encode_batch(masks: np.ndarray) -> Optional[List[str]]:

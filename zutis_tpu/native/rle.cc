@@ -114,4 +114,142 @@ int rle_encode_batch(const uint8_t* masks, int n, int h, int w, char* out,
   return pos;
 }
 
+// ---------------------------------------------------------------------------
+// Packed-bits batch encode: the eval fast path. The device packs each mask's
+// Fortran-order flatten to bits (np.packbits bitorder='big' layout: bit j of
+// a column lives in byte j/8, position 7 - j%8) with rows padded to
+// `col_stride_bits` (multiple of 8) so every column starts byte-aligned; only
+// the packed bits cross the host boundary (~32x less PCIe traffic than byte
+// masks). Each selected mask is scanned word-at-a-time over its native
+// (h, w) window: transitions come from v ^ ((v >> 1) | carry) with MSB-first
+// row order, and set bits are walked with count-leading-zeros, so runtime is
+// O(words + transitions) not O(pixels).
+//
+// Arguments:
+//   packed:        base of the packed mask array
+//   mask_stride:   bytes between consecutive masks
+//   sel:           indices of the masks to encode (n_sel entries)
+//   col_stride_bits: padded rows per column (multiple of 8)
+//   hs, ws:        native window per SELECTED mask (n_sel entries)
+//   out/out_cap:   counts-string arena; offsets[i] = start of string i
+//   bboxes:        n_sel * 4 ints, xyxy tight box (zeros when empty)
+//   areas:         n_sel foreground-pixel counts
+// Returns total chars written, or -1 on overflow.
+
+static int emit_counts(const std::vector<int64_t>& counts, char* out,
+                       int out_cap, int pos) {
+  for (size_t idx = 0; idx < counts.size(); ++idx) {
+    int64_t x = counts[idx];
+    if (idx > 2) x -= counts[idx - 2];
+    bool more = true;
+    while (more) {
+      int chunk = (int)(x & 0x1F);
+      x >>= 5;
+      more = (chunk & 0x10) ? (x != -1) : (x != 0);
+      if (more) chunk |= 0x20;
+      if (pos >= out_cap) return -1;
+      out[pos++] = (char)(chunk + 48);
+    }
+  }
+  return pos;
+}
+
+static inline uint64_t load_be64(const uint8_t* p) {
+  // byte 0 holds rows 0-7 (MSB-first) -> place it at the top of the word so
+  // bit 63 is row 0 and row r+1 sits one position below row r
+  return ((uint64_t)p[0] << 56) | ((uint64_t)p[1] << 48) |
+         ((uint64_t)p[2] << 40) | ((uint64_t)p[3] << 32) |
+         ((uint64_t)p[4] << 24) | ((uint64_t)p[5] << 16) |
+         ((uint64_t)p[6] << 8) | (uint64_t)p[7];
+}
+
+int rle_encode_packed_batch(const uint8_t* packed, int64_t mask_stride,
+                            const int* sel, int n_sel, int col_stride_bits,
+                            const int* hs, const int* ws, char* out,
+                            int out_cap, int* offsets, int* bboxes,
+                            int64_t* areas) {
+  const int col_bytes = col_stride_bits / 8;
+  int pos = 0;
+  std::vector<int64_t> counts;
+  std::vector<uint64_t> rowocc;  // OR of all columns, for ymin/ymax
+  for (int s = 0; s < n_sel; ++s) {
+    const uint8_t* base = packed + (int64_t)sel[s] * mask_stride;
+    const int h = hs[s], w = ws[s];
+    const int n_words = (h + 63) / 64;
+    counts.clear();
+    rowocc.assign((size_t)n_words, 0);
+    int xmin = w, xmax = -1;
+    int64_t area = 0;
+    int64_t last_t = 0;   // flat column-major position of the last transition
+    uint64_t prev_bit = 0;  // value of the preceding pixel (MSB position)
+    for (int j = 0; j < w; ++j) {
+      const uint8_t* col = base + (int64_t)j * col_bytes;
+      const int64_t col_base = (int64_t)j * h;
+      bool col_any = false;
+      for (int wd = 0; wd < n_words; ++wd) {
+        int row0 = wd * 64;
+        int nbits = h - row0 < 64 ? h - row0 : 64;
+        uint64_t v;
+        if (nbits == 64) {
+          v = load_be64(col + wd * 8);
+        } else {
+          v = 0;
+          int nbytes = (nbits + 7) / 8;
+          for (int b = 0; b < nbytes; ++b)
+            v |= (uint64_t)col[wd * 8 + b] << (56 - 8 * b);
+          v &= ~0ull << (64 - nbits);  // drop padded rows
+        }
+        if (v) {
+          col_any = true;
+          area += __builtin_popcountll(v);
+          rowocc[wd] |= v;
+        }
+        // pred of row r is row r-1 = one bit position above (towards MSB)
+        uint64_t pred = (v >> 1) | (prev_bit << 63);
+        uint64_t trans = (v ^ pred);
+        if (nbits < 64) trans &= ~0ull << (64 - nbits);
+        while (trans) {
+          int k = __builtin_clzll(trans);        // row offset within word
+          int64_t t = col_base + row0 + k;       // global F-order position
+          counts.push_back(t - last_t);
+          last_t = t;
+          trans &= ~(1ull << (63 - k));
+        }
+        prev_bit = nbits == 64 ? (v & 1) : (v >> (64 - nbits)) & 1;
+      }
+      if (col_any) {
+        if (j < xmin) xmin = j;
+        xmax = j;
+      }
+    }
+    const int64_t total = (int64_t)h * w;
+    counts.push_back(total - last_t);
+    // counts currently hold transition deltas: [t0 - 0, t1 - t0, ..., N - tk]
+    // which IS the run-length sequence (first entry the leading zero-run,
+    // possibly 0 when pixel (0,0) is set)
+    offsets[s] = pos;
+    pos = emit_counts(counts, out, out_cap, pos);
+    if (pos < 0) return -1;
+    areas[s] = area;
+    int ymin = h, ymax = -1;
+    for (int wd = 0; wd < n_words; ++wd) {
+      if (!rowocc[wd]) continue;
+      int first = wd * 64 + __builtin_clzll(rowocc[wd]);
+      int last = wd * 64 + 63 - __builtin_ctzll(rowocc[wd]);
+      if (first < ymin) ymin = first;
+      if (last > ymax) ymax = last;
+    }
+    if (xmax < 0) {
+      bboxes[4 * s] = bboxes[4 * s + 1] = bboxes[4 * s + 2] =
+          bboxes[4 * s + 3] = 0;
+    } else {
+      bboxes[4 * s] = xmin;
+      bboxes[4 * s + 1] = ymin;
+      bboxes[4 * s + 2] = xmax;
+      bboxes[4 * s + 3] = ymax;
+    }
+  }
+  return pos;
+}
+
 }  // extern "C"

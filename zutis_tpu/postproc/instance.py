@@ -12,7 +12,12 @@ Behavioural contract (reference networks/zutis.py:340-470 `predict`):
 
 TPU-first: the whole instance path up to and including NMS runs on device
 with static shapes ([Q] proposals per image); only the RLE/JSON assembly of
-kept masks runs on host (instances_to_coco).
+kept masks runs on host (instances_to_coco). The eval fast path packs each
+mask's Fortran-order flatten to BITS on device (`pack_masks_fortran`), so the
+host boundary carries 1 bit/pixel instead of 8 and the C++ word-scan codec
+(native/rle.cc `rle_encode_packed_batch`) emits counts straight from the
+packed words — the reference pays a full uint8 mask D2H plus pycocotools'
+per-pixel C scan per prediction (networks/zutis.py:288-298).
 """
 from __future__ import annotations
 
@@ -46,8 +51,13 @@ def predict_semantic(
     return jnp.argmax(logits, axis=1)
 
 
+def col_stride_bits(h: int) -> int:
+    """Rows per packed column after pack_masks_fortran's padding."""
+    return -(-h // 8) * 8
+
+
 @partial(jax.jit, static_argnames=("size", "threshold", "temperature",
-                                   "nms_type", "nms_threshold"))
+                                   "nms_type", "nms_threshold", "pack"))
 def predict_instances_device(
     mask_proposals: jnp.ndarray,  # [b, L, Q, h, w] or [b, Q, h, w], in [0,1]
     patch_tokens: jnp.ndarray,  # [b, h, w, text_dim]
@@ -57,10 +67,13 @@ def predict_instances_device(
     temperature: float = 5.0,
     nms_type: str = "hard",
     nms_threshold: float = 0.3,
+    pack: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Device-side instance decode + NMS. Returns per image (batched):
     masks [b, Q, H, W] bool, scores [b, Q], category_ids [b, Q],
-    keep [b, Q] bool."""
+    keep [b, Q] bool; with pack=True also masks_packed [b, Q, nbytes]
+    uint8 (Fortran-order bits) for the packed host codec — fetch that
+    instead of `masks` and the host boundary shrinks 8x."""
     if mask_proposals.ndim == 5:
         mask_proposals = mask_proposals[:, -1]
     b, q = mask_proposals.shape[:2]
@@ -95,12 +108,121 @@ def predict_instances_device(
         lambda m, s, c: mask_nms(m, s, c, nms_threshold=nms_threshold,
                                  nms_type=nms_type)
     )(binary_out, confidence, category_ids)
-    return {
+    out = {
         "masks": binary_out,
         "scores": out_scores,
         "category_ids": category_ids,
         "keep": keep,
     }
+    if pack:
+        out["masks_packed"] = pack_masks_fortran(binary_out)
+    return out
+
+
+def pack_masks_fortran(masks: jnp.ndarray) -> jnp.ndarray:
+    """[..., H, W] bool -> [..., W * H8 / 8] uint8: np.packbits(bitorder=
+    'big') of the Fortran-order (column-major) flatten, rows padded to
+    H8 = ceil(H/8)*8 zeros so every column starts byte-aligned — the layout
+    native/rle.cc `rle_encode_packed_batch` scans. Pure reshape/shift work
+    that XLA fuses; output is 1/8 the bool mask's bytes."""
+    H, W = masks.shape[-2:]
+    h8 = -(-H // 8) * 8
+    m = jnp.swapaxes(masks, -1, -2)  # [..., W, H]; C-ravel == F-order
+    if h8 != H:
+        pad = [(0, 0)] * (m.ndim - 1) + [(0, h8 - H)]
+        m = jnp.pad(m, pad)
+    bits = m.reshape(*m.shape[:-2], W * h8 // 8, 8)
+    weights = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+    return jnp.sum(
+        bits.astype(jnp.int32) * weights, axis=-1).astype(jnp.uint8)
+
+
+def _unpack_mask_fortran(
+    packed_row: np.ndarray, col_stride_bits: int, h: int, w: int
+) -> np.ndarray:
+    """Host inverse of pack_masks_fortran for one mask (fallback path)."""
+    bits = np.unpackbits(np.asarray(packed_row, np.uint8))
+    cols = bits[: w * col_stride_bits].reshape(w, col_stride_bits)
+    return cols[:, :h].T  # [h, w] row-major
+
+
+def instances_to_coco_packed(
+    device_out: Dict[str, np.ndarray],
+    image_ids: List[int],
+    sizes: List[tuple],  # native (H, W) per image
+    label_id_to_category: Optional[Dict[int, str]] = None,
+    new_label_id_to_old_label_id: Optional[Dict[int, int]] = None,
+) -> List[dict]:
+    """COCO prediction dicts from packed-bit masks: only `masks_packed`
+    [b, Q, nbytes] uint8 (plus the small score/keep arrays) crosses the host
+    boundary. Encodes each image's native (H, W) window with the C++ packed
+    codec; falls back to numpy unpack + the Python codec without a toolchain.
+    Same output contract as instances_to_coco."""
+    packed = np.asarray(device_out["masks_packed"])
+    scores = np.asarray(device_out["scores"])
+    cats = np.asarray(device_out["category_ids"])
+    keep = np.asarray(device_out["keep"])
+    b, q = keep.shape
+    col_stride_bits = int(device_out["col_stride_bits"])
+
+    sel, hs, ws, meta = [], [], [], []
+    for bi, image_id in enumerate(image_ids):
+        H, W = sizes[bi]
+        for qi in np.flatnonzero(keep[bi]):
+            sel.append(bi * q + qi)
+            hs.append(H)
+            ws.append(W)
+            meta.append((bi, int(qi), image_id, (int(H), int(W))))
+    if not sel:
+        return []
+
+    flat = packed.reshape(b * q, -1)
+    from zutis_tpu.native import native_encode_packed
+
+    enc = native_encode_packed(
+        flat, np.asarray(sel), col_stride_bits, np.asarray(hs),
+        np.asarray(ws))
+    preds: List[dict] = []
+    if enc is not None:
+        strings, bboxes, areas = enc
+        for i, (bi, qi, image_id, hw) in enumerate(meta):
+            if areas[i] == 0:
+                continue
+            cid = int(cats[bi, qi])
+            label_id = (new_label_id_to_old_label_id[cid]
+                        if new_label_id_to_old_label_id is not None else cid)
+            pred = {
+                "category_id": label_id,
+                "segmentation": {"size": list(hw), "counts": strings[i]},
+                "score": float(scores[bi, qi]),
+                "image_id": image_id,
+                "image_size": hw,
+                "bbox": [float(v) for v in bboxes[i]],
+            }
+            if label_id_to_category is not None:
+                pred["pred_class"] = label_id_to_category[label_id]
+            preds.append(pred)
+        return preds
+    # no native toolchain: unpack on host and reuse the numpy codec
+    for bi, qi, image_id, hw in meta:
+        m = _unpack_mask_fortran(flat[bi * q + qi], col_stride_bits, *hw)
+        if m.sum() == 0:
+            continue
+        cid = int(cats[bi, qi])
+        label_id = (new_label_id_to_old_label_id[cid]
+                    if new_label_id_to_old_label_id is not None else cid)
+        pred = {
+            "category_id": label_id,
+            "segmentation": rle_ops.encode(m),
+            "score": float(scores[bi, qi]),
+            "image_id": image_id,
+            "image_size": hw,
+            "bbox": rle_ops.to_bbox(m),
+        }
+        if label_id_to_category is not None:
+            pred["pred_class"] = label_id_to_category[label_id]
+        preds.append(pred)
+    return preds
 
 
 def instances_to_coco(

@@ -104,3 +104,39 @@ def test_rn_exact_shape_batched_eval_matches_per_image():
         out[tag] = trainer.evaluate(params, ds, batch_images=batch)
     assert out["batched"]["Mean IoU"] == out["per_image"]["Mean IoU"]
     assert out["batched"]["Pixel Acc"] == out["per_image"]["Pixel Acc"]
+
+
+def test_repeated_evaluate_retraces_nothing(model_and_params, monkeypatch):
+    """VERDICT r2 task 8: the ~20 in-training evaluate() calls of a real run
+    must not re-trace — one trace per shape and one bucketed step per key
+    for the Trainer's LIFETIME."""
+    from zutis_tpu.engine import batched_eval as BE
+
+    model, params, text = model_and_params
+    ds = FakeSemanticDataset(
+        "coca", sizes=[(48, 48), (32, 48), (48, 48), (32, 48)], seed=7)
+    trainer = Trainer(model, text)
+
+    made = []
+    orig = BE.make_semantic_step
+
+    def counting_maker(*a, **k):
+        made.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(BE, "make_semantic_step", counting_maker)
+
+    # bucketed regime: step makers run once per key, not once per call
+    first = trainer.evaluate(params, ds, batch_images=2)
+    n_made = len(made)
+    assert n_made >= 1
+    second = trainer.evaluate(params, ds, batch_images=2)
+    assert len(made) == n_made, "evaluate() rebuilt bucketed steps"
+    assert first["Mean IoU"] == second["Mean IoU"]
+
+    # per-image regime: the shared jitted forward traces once per shape
+    trainer.evaluate(params, ds, batch_images=1)
+    traces = trainer._eval_trace_count
+    assert traces >= 1
+    trainer.evaluate(params, ds, batch_images=1)
+    assert trainer._eval_trace_count == traces, "evaluate() re-traced"

@@ -65,6 +65,13 @@ class Trainer:
         # appends — re-entering fit or logging at off-multiple steps no
         # longer clobbers/corrupts the JSON-lines files
         self._fresh_artifacts: set = set()
+        # jitted eval programs, cached for the Trainer's lifetime so the ~20
+        # in-training evaluate() calls of a reference run re-trace NOTHING:
+        # one persistent jit per regime (jax keys its own trace cache by
+        # shape) and one bucketed step per (bucket, out) key
+        self._eval_forward = None
+        self._eval_trace_count = 0  # python-side body executions == traces
+        self._bucket_steps: Dict = {}
 
     def _write_artifact(self, name: str, record: dict,
                         resumed: bool = False) -> None:
@@ -300,6 +307,18 @@ class Trainer:
             num_iter, iter_eval,
         )
 
+    def _eval_forward_fn(self):
+        """The shared jitted eval forward (per-image AND exact-batched
+        regimes — jax keys traces by shape, so each distinct batch shape
+        traces once for the Trainer's LIFETIME, not once per evaluate())."""
+        if self._eval_forward is None:
+            def forward(p, images):
+                self._eval_trace_count += 1  # runs only while tracing
+                return self.model.apply({"params": p}, images)
+
+            self._eval_forward = jax.jit(forward)
+        return self._eval_forward
+
     def _evaluate_exact_batched(
         self, params, dataset, n, dataset_name, metric_meter,
         instance_predictions, batch_images,
@@ -308,9 +327,7 @@ class Trainer:
         group as one stacked batch — no padding, so every number equals the
         per-image program's; distinct shapes compile exactly as many
         programs as the per-image regime would."""
-        @jax.jit
-        def forward(p, images):
-            return self.model.apply({"params": p}, images)
+        forward = self._eval_forward_fn()
 
         want_instances = dataset_name == "coco2017"
         pending: Dict = {}
@@ -360,9 +377,7 @@ class Trainer:
         self, params, dataset, n, dataset_name, metric_meter,
         instance_predictions,
     ) -> int:
-        @jax.jit
-        def forward(p, image):
-            return self.model.apply({"params": p}, image)
+        forward = self._eval_forward_fn()
 
         for i in range(n):
             sample = dataset[i]
@@ -412,7 +427,8 @@ class Trainer:
 
         patch = self.model.patch_size
         want_instances = dataset_name == "coco2017"
-        steps: Dict = {}
+        # bucketed step programs persist across evaluate() calls
+        steps = self._bucket_steps
         pending: Dict = {}
 
         def flush(key, items):
@@ -425,12 +441,13 @@ class Trainer:
             for j in range(batch_images):
                 s = items[j] if j < len(items) else items[0]
                 out_pixels[j] = self._target_hw(s, dataset_name)
-            if key not in steps:
+            skey = (want_instances,) + key
+            if skey not in steps:
                 maker = (BE.make_instance_step if want_instances
                          else BE.make_semantic_step)
-                steps[key] = maker(self.model, self.text_embeddings,
-                                   out_shape)
-            result = steps[key](
+                steps[skey] = maker(self.model, self.text_embeddings,
+                                    out_shape)
+            result = steps[skey](
                 params, jnp.asarray(padded), jnp.asarray(native_grid),
                 jnp.asarray(out_pixels),
             )

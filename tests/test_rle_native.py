@@ -199,3 +199,86 @@ def test_instances_to_coco_packed_equals_dense():
         assert g["bbox"] == w_["bbox"]
         assert abs(g["score"] - w_["score"]) < 1e-6
         assert g["image_size"] == w_["image_size"]
+
+
+def test_device_rle_counts_equals_dense():
+    """Device counts path (compaction + run extraction + C++ compression)
+    == dense instances_to_coco on identical inputs, INCLUDING cap-overflow
+    fallbacks (tiny k_cap/col_cap/max_runs force them) and bucket-padded
+    native windows."""
+    import jax.numpy as jnp
+
+    from zutis_tpu.ops.rle_device import rle_encode_masks_device
+    from zutis_tpu.postproc.instance import (
+        col_stride_bits, instances_to_coco, instances_to_coco_counts,
+        pack_masks_fortran,
+    )
+
+    rng = np.random.RandomState(0)
+    B, Q, H, W = 3, 8, 41, 37
+    masks = np.zeros((B, Q, H, W), bool)
+    for b in range(B):
+        for q in range(Q):
+            if (b + q) % 5 == 4:
+                masks[b, q] = rng.rand(H, W) > 0.5  # noisy -> overflow
+            else:
+                y, x = rng.randint(0, H - 6), rng.randint(0, W - 6)
+                masks[b, q, y:y + 6, x:x + 6] = True
+    keep = rng.rand(B, Q) < 0.8
+    scores = rng.rand(B, Q).astype(np.float32)
+    cats = rng.randint(0, 5, (B, Q))
+
+    dense = instances_to_coco(
+        {"masks": masks, "scores": scores, "category_ids": cats,
+         "keep": keep}, image_ids=[1, 2, 3])
+
+    rle = rle_encode_masks_device(
+        jnp.asarray(masks), jnp.asarray(keep),
+        k_cap=4, col_cap=4, max_runs=64)
+    assert int(np.asarray(rle["overflow"]).sum()) > 0  # fallbacks exercised
+    assert int(np.asarray(rle["n_kept"]).max()) > 4
+    res = {k: np.asarray(v) for k, v in rle.items()}
+    res.update(scores=scores, category_ids=cats, keep=keep)
+    got = instances_to_coco_counts(
+        res, image_ids=[1, 2, 3], sizes=[(H, W)] * 3,
+        dev_packed=pack_masks_fortran(jnp.asarray(masks)),
+        col_stride_bits_packed=col_stride_bits(H))
+    assert len(got) == len(dense)
+    for g, w_ in zip(got, dense):
+        assert g["image_id"] == w_["image_id"]
+        assert g["category_id"] == w_["category_id"]
+        assert g["segmentation"]["counts"] == w_["segmentation"]["counts"]
+        assert g["segmentation"]["size"] == w_["segmentation"]["size"]
+        assert g["bbox"] == w_["bbox"]
+        assert abs(g["score"] - w_["score"]) < 1e-6
+
+    # windowed buckets: native (h, w) < bucket shape
+    Hb, Wb = 48, 40
+    m2 = np.zeros((2, 4, Hb, Wb), bool)
+    hw = [(33, 29), (48, 40)]
+    for b in range(2):
+        h, w = hw[b]
+        for q in range(4):
+            y, x = rng.randint(0, h - 5), rng.randint(0, w - 5)
+            m2[b, q, y:y + 5, x:x + 5] = True
+    k2 = np.ones((2, 4), bool)
+    s2 = rng.rand(2, 4).astype(np.float32)
+    c2 = rng.randint(0, 3, (2, 4))
+    dense2 = []
+    for b in range(2):
+        h, w = hw[b]
+        dense2.extend(instances_to_coco(
+            {"masks": m2[b:b + 1, :, :h, :w], "scores": s2[b:b + 1],
+             "category_ids": c2[b:b + 1], "keep": k2[b:b + 1]},
+            image_ids=[10 + b]))
+    rle2 = rle_encode_masks_device(
+        jnp.asarray(m2), jnp.asarray(k2),
+        native_hw=jnp.asarray(np.array(hw, np.int32)),
+        k_cap=4, col_cap=4, max_runs=64)
+    res2 = {k: np.asarray(v) for k, v in rle2.items()}
+    res2.update(scores=s2, category_ids=c2, keep=k2)
+    got2 = instances_to_coco_counts(res2, image_ids=[10, 11], sizes=hw)
+    assert len(got2) == len(dense2)
+    for g, w_ in zip(got2, dense2):
+        assert g["segmentation"]["counts"] == w_["segmentation"]["counts"]
+        assert g["bbox"] == w_["bbox"]

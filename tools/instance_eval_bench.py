@@ -1,0 +1,142 @@
+"""Instance-eval pipeline throughput on the real TPU (VERDICT r2 task 3).
+
+Measures the FULL coco20k-style bucketed pipeline at the 512x640 bucket:
+host pad_batch -> jitted padded forward + decode + NMS + bit-packing ->
+selective fetch (packed bits + per-query scalars) -> host RLE/JSON assembly
+(C++ packed codec). `--dense` instead fetches the full [B,Q,H,W] bool masks
+and assembles with the per-mask codec — the r2 path, for comparison.
+
+Usage: timeout 900 python tools/instance_eval_bench.py [--batch N] [--dense]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--path", choices=["counts", "packed", "dense"],
+                    default="counts")
+    ap.add_argument("--iters", type=int, default=12)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from zutis_tpu.core.cache import enable_compilation_cache
+    from zutis_tpu.data.label_maps import new_label_id_to_old_label_id
+    from zutis_tpu.engine import batched_eval as BE
+    from zutis_tpu.models import ZUTIS
+    from zutis_tpu.postproc.instance import (
+        instances_to_coco, instances_to_coco_counts, instances_to_coco_packed,
+    )
+
+    enable_compilation_cache()
+    shape = (512, 640)
+    model = ZUTIS(
+        width=768, encoder_layers=12, encoder_heads=12, patch_size=16,
+        text_dim=512, n_queries=100, n_decoder_layers=6, n_heads=8,
+        input_resolution=224, dtype=jnp.bfloat16,
+    )
+    rng = np.random.RandomState(0)
+    n_cat = 81  # COCO width
+    init_x = jnp.asarray(rng.randn(1, 3, 224, 224).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), init_x)["params"]
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.ndim > 1 else x, params)
+    text = rng.randn(n_cat, 512).astype(np.float32)
+    text = jnp.asarray(text / np.linalg.norm(text, axis=1, keepdims=True))
+
+    step = BE.make_instance_step(model, text, shape)
+
+    B = args.batch
+    # COCO-like native sizes inside the 512x640 bucket
+    sizes = [(480 + 8 * (i % 5), 640 - 16 * (i % 3)) for i in range(B)]
+    images = [rng.randn(3, h, w).astype(np.float32) * 0.1
+              for (h, w) in sizes]
+    padded, native_grid, native_pixels = BE.pad_batch(
+        images, shape, B, model.patch_size)
+    padded_d = jnp.asarray(padded)
+    grid_d = jnp.asarray(native_grid)
+    pix_d = jnp.asarray(native_pixels)
+    label_map = {i: i for i in range(n_cat)}
+
+    def run_once():
+        dev = step(params, padded_d, grid_d, pix_d)
+        if args.path == "counts":
+            res = {k: np.asarray(dev[k])
+                   for k in ("scores", "category_ids", "keep")}
+            res.update({k: np.asarray(v) for k, v in dev["rle"].items()})
+            return instances_to_coco_counts(
+                res, image_ids=list(range(B)), sizes=sizes,
+                new_label_id_to_old_label_id=label_map,
+                dev_packed=dev["masks_packed"],
+                col_stride_bits_packed=shape[0],
+            )
+        if args.path == "dense":
+            res = {k: np.asarray(v) for k, v in dev.items()
+                   if k != "masks_packed"}
+            preds = []
+            for j in range(B):
+                H, W = sizes[j]
+                preds.extend(instances_to_coco(
+                    {
+                        "masks": res["masks"][j:j + 1, :, :H, :W],
+                        "scores": res["scores"][j:j + 1],
+                        "category_ids": res["category_ids"][j:j + 1],
+                        "keep": res["keep"][j:j + 1],
+                    },
+                    image_ids=[j],
+                    new_label_id_to_old_label_id=label_map,
+                ))
+            return preds
+        res = {k: np.asarray(v) for k, v in dev.items()
+               if k not in ("masks", "semantic")}
+        res["col_stride_bits"] = shape[0]
+        return instances_to_coco_packed(
+            res, image_ids=list(range(B)), sizes=sizes,
+            new_label_id_to_old_label_id=label_map,
+        )
+
+    import sys
+
+    print("compiling instance step...", file=sys.stderr, flush=True)
+    t_c = time.perf_counter()
+    preds = run_once()  # compile + warm
+    print(f"compile+first run: {time.perf_counter() - t_c:.1f}s",
+          file=sys.stderr, flush=True)
+    n_kept = len(preds)
+    n_overflow = 0
+    if args.path == "counts":
+        d0 = step(params, padded_d, grid_d, pix_d)
+        rle0 = {k: np.asarray(v) for k, v in d0["rle"].items()}
+        n_overflow = int((rle0["overflow"] & rle0["valid"]).sum()
+                         + np.maximum(rle0["n_kept"]
+                                      - rle0["valid"].shape[1], 0).sum())
+    # warm a full window (fresh-executable transient, CLAUDE.md)
+    for _ in range(3):
+        run_once()
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            run_once()
+        dt = time.perf_counter() - t0
+        best = max(best, B * args.iters / dt)
+    print(json.dumps({
+        "metric": "instance_eval_images_per_sec",
+        "value": round(best, 1),
+        "batch": B,
+        "bucket": list(shape),
+        "path": args.path,
+        "n_preds_per_batch": n_kept,
+        "n_cap_fallbacks": n_overflow,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -58,7 +58,7 @@ def main(argv=None):
     from zutis_tpu.engine.coco_eval import COCOEvaluator
     from zutis_tpu.models.factory import build_zutis
     from zutis_tpu.postproc.instance import (
-        col_stride_bits, instances_to_coco_packed, predict_instances_device,
+        col_stride_bits, instances_to_coco_counts, predict_instances_device,
     )
 
     enable_compilation_cache()
@@ -133,22 +133,22 @@ def main(argv=None):
             dev = steps[shape](
                 params, jnp.asarray(padded), jnp.asarray(native_grid),
                 jnp.asarray(native_pixels))
-            # fetch everything EXCEPT the dense masks — the packed bits plus
-            # the per-query scalars are ~1/8 the traffic, and the C++ codec
-            # encodes straight from them
-            res = {k: np.asarray(v) for k, v in dev.items()
-                   if k not in ("masks", "semantic")}
-            res["col_stride_bits"] = shape[0]
+            # masks (dense and packed) stay on device: the device-computed
+            # RLE counts + boxes are the only per-pixel-derived data that
+            # crosses the host boundary (~KB per image)
+            res = {k: np.asarray(dev[k])
+                   for k in ("scores", "category_ids", "keep")}
+            res.update({k: np.asarray(v) for k, v in dev["rle"].items()})
             for j, (image_id, img) in enumerate(items):
                 H, W = img.shape[-2:]
                 maybe_visualise(image_id, img, dev["masks"], res, j, H, W)
-            predictions.extend(instances_to_coco_packed(
-                {k: res[k] for k in ("masks_packed", "scores",
-                                     "category_ids", "keep",
-                                     "col_stride_bits")},
+            predictions.extend(instances_to_coco_counts(
+                res,
                 image_ids=[iid for iid, _ in items],
                 sizes=[tuple(img.shape[-2:]) for _, img in items],
                 new_label_id_to_old_label_id=new_label_id_to_old_label_id,
+                dev_packed=dev["masks_packed"],
+                col_stride_bits_packed=shape[0],
             ))
 
         for image_id in image_ids:
@@ -172,17 +172,20 @@ def main(argv=None):
             dev = predict_instances_device(
                 out["mask_proposals"], out["patch_tokens"], text_embeddings,
                 size=(int(H), int(W)), threshold=args.threshold,
-                nms_type=args.nms_type, pack=True,
+                nms_type=args.nms_type, rle=True,
             )
-            res = {k: np.asarray(v) for k, v in dev.items() if k != "masks"}
-            res["col_stride_bits"] = col_stride_bits(int(H))
+            res = {k: np.asarray(dev[k])
+                   for k in ("scores", "category_ids", "keep")}
+            res.update({k: np.asarray(v) for k, v in dev["rle"].items()})
             maybe_visualise(image_id, img_np, dev["masks"], res, 0,
                             int(H), int(W))
-            predictions.extend(instances_to_coco_packed(
+            predictions.extend(instances_to_coco_counts(
                 res,
                 image_ids=[image_id],
                 sizes=[(int(H), int(W))],
                 new_label_id_to_old_label_id=new_label_id_to_old_label_id,
+                dev_packed=dev["masks_packed"],
+                col_stride_bits_packed=col_stride_bits(int(H)),
             ))
     eval_seconds = time.time() - t0
 

@@ -204,10 +204,13 @@ def make_instance_step(
         sem = jnp.einsum("boh,bchw->bcow", wh, logits)
         sem = jnp.einsum("bow,bchw->bcho", ww, sem)
         semantic = jnp.argmax(sem, axis=1).astype(jnp.int32)
+        from zutis_tpu.ops.rle_device import rle_encode_masks_device
         from zutis_tpu.postproc.instance import pack_masks_fortran
 
         return {
             "masks": masks, "masks_packed": pack_masks_fortran(masks),
+            "rle": rle_encode_masks_device(
+                masks, keep, native_hw=native_pixels),
             "scores": out_scores,
             "category_ids": category_ids, "keep": keep,
             "semantic": semantic,

@@ -34,7 +34,7 @@ from zutis_tpu.models.weights import export_zutis
 from zutis_tpu.ops.resize import resize_2d
 from zutis_tpu.postproc.instance import (
     col_stride_bits,
-    instances_to_coco_packed,
+    instances_to_coco_counts,
     predict_instances_device,
 )
 
@@ -345,16 +345,18 @@ class Trainer:
             if want_instances:
                 dev = predict_instances_device(
                     out["mask_proposals"], out["patch_tokens"],
-                    self.text_embeddings, size=(H, W), pack=True,
+                    self.text_embeddings, size=(H, W), rle=True,
                 )
-                res = {k: np.asarray(v) for k, v in dev.items()
-                       if k != "masks"}
-                res["col_stride_bits"] = col_stride_bits(H)
-                instance_predictions.extend(instances_to_coco_packed(
+                res = {k: np.asarray(dev[k])
+                       for k in ("scores", "category_ids", "keep")}
+                res.update({k: np.asarray(v) for k, v in dev["rle"].items()})
+                instance_predictions.extend(instances_to_coco_counts(
                     res,
                     image_ids=[s["image_id"] for s in items],
                     sizes=[(H, W)] * len(items),
                     new_label_id_to_old_label_id=new_label_id_to_old_label_id,
+                    dev_packed=dev["masks_packed"],
+                    col_stride_bits_packed=col_stride_bits(H),
                 ))
             for j, s in enumerate(items):
                 if "semantic_mask" in s:
@@ -397,16 +399,18 @@ class Trainer:
             if dataset_name == "coco2017":
                 dev = predict_instances_device(
                     out["mask_proposals"], out["patch_tokens"],
-                    self.text_embeddings, size=(int(H), int(W)), pack=True,
+                    self.text_embeddings, size=(int(H), int(W)), rle=True,
                 )
-                res = {k: np.asarray(v) for k, v in dev.items()
-                       if k != "masks"}
-                res["col_stride_bits"] = col_stride_bits(int(H))
-                preds = instances_to_coco_packed(
+                res = {k: np.asarray(dev[k])
+                       for k in ("scores", "category_ids", "keep")}
+                res.update({k: np.asarray(v) for k, v in dev["rle"].items()})
+                preds = instances_to_coco_counts(
                     res,
                     image_ids=[sample["image_id"]],
                     sizes=[(int(H), int(W))],
                     new_label_id_to_old_label_id=new_label_id_to_old_label_id,
+                    dev_packed=dev["masks_packed"],
+                    col_stride_bits_packed=col_stride_bits(int(H)),
                 )
                 instance_predictions.extend(preds)
 
@@ -452,11 +456,14 @@ class Trainer:
                 jnp.asarray(out_pixels),
             )
             if want_instances:
-                # dense masks stay on device; the packed bits carry the
-                # segmentation across the host boundary at 1 bit/pixel
-                result = {k: np.asarray(v) for k, v in result.items()
-                          if k != "masks"}
-                sem = result["semantic"]
+                # masks (dense AND packed bits) stay on device; the
+                # device-computed RLE counts carry the segmentations across
+                # the host boundary at a few KB per image
+                sem = np.asarray(result["semantic"])
+                res = {k: np.asarray(result[k])
+                       for k in ("scores", "category_ids", "keep")}
+                res.update(
+                    {k: np.asarray(v) for k, v in result["rle"].items()})
             else:
                 sem = np.asarray(result)
             for j, s in enumerate(items):
@@ -465,12 +472,13 @@ class Trainer:
                     metric_meter.update(
                         s["semantic_mask"][None], sem[j, :H, :W][None])
             if want_instances:
-                result["col_stride_bits"] = out_shape[0]
-                instance_predictions.extend(instances_to_coco_packed(
-                    result,
+                instance_predictions.extend(instances_to_coco_counts(
+                    res,
                     image_ids=[s["image_id"] for s in items],
                     sizes=[self._target_hw(s, dataset_name) for s in items],
                     new_label_id_to_old_label_id=new_label_id_to_old_label_id,
+                    dev_packed=result["masks_packed"],
+                    col_stride_bits_packed=out_shape[0],
                 ))
 
         for i in range(n):

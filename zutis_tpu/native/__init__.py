@@ -66,6 +66,12 @@ def load_rle_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int),
     ]
+    lib.rle_counts_to_string_batch.restype = ctypes.c_int
+    lib.rle_counts_to_string_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int),
+    ]
     lib.rle_encode_packed_batch.restype = ctypes.c_int
     lib.rle_encode_packed_batch.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
@@ -151,6 +157,34 @@ def native_encode_packed(
     strings = [raw[bounds[i]:bounds[i + 1]].decode("ascii")
                for i in range(n_sel)]
     return strings, bboxes, areas
+
+
+def counts_to_strings(
+    counts: np.ndarray,  # [n, stride] run-length sequences
+    n_counts: np.ndarray,  # [n] valid prefix lengths
+) -> Optional[List[str]]:
+    """C++ compression of device-computed RLE counts (ops/rle_device.py) to
+    COCO strings; None when the native lib is unavailable."""
+    lib = load_rle_lib()
+    if lib is None:
+        return None
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    n_counts = np.ascontiguousarray(n_counts, dtype=np.int32)
+    n, stride = counts.shape
+    if n == 0:
+        return []
+    offsets = (ctypes.c_int * n)()
+    # a 64-bit count emits at most 13 five-bit groups; 16/count is safe slack
+    cap = int(16 * n_counts.sum() + 64 * n)
+    out = ctypes.create_string_buffer(cap)
+    total = lib.rle_counts_to_string_batch(
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        n, stride, out, cap, offsets)
+    assert total >= 0, "counts_to_strings overflow"
+    bounds = list(offsets) + [total]
+    raw = out.raw
+    return [raw[bounds[i]:bounds[i + 1]].decode("ascii") for i in range(n)]
 
 
 def native_encode_batch(masks: np.ndarray) -> Optional[List[str]]:

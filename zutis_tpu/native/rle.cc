@@ -163,6 +163,24 @@ static inline uint64_t load_be64(const uint8_t* p) {
          ((uint64_t)p[6] << 8) | (uint64_t)p[7];
 }
 
+// Compress device-computed run-length sequences (ops/rle_device.py) to COCO
+// counts strings: counts[i*stride .. i*stride+n_counts[i]) per mask.
+// Returns total chars or -1 on overflow.
+int rle_counts_to_string_batch(const int64_t* counts, const int* n_counts,
+                               int n_masks, int stride, char* out,
+                               int out_cap, int* offsets) {
+  int pos = 0;
+  std::vector<int64_t> tmp;
+  for (int i = 0; i < n_masks; ++i) {
+    offsets[i] = pos;
+    tmp.assign(counts + (int64_t)i * stride,
+               counts + (int64_t)i * stride + n_counts[i]);
+    pos = emit_counts(tmp, out, out_cap, pos);
+    if (pos < 0) return -1;
+  }
+  return pos;
+}
+
 int rle_encode_packed_batch(const uint8_t* packed, int64_t mask_stride,
                             const int* sel, int n_sel, int col_stride_bits,
                             const int* hs, const int* ws, char* out,

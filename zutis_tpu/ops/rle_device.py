@@ -1,0 +1,127 @@
+"""Device-side COCO RLE: kept-mask compaction + run boundary extraction.
+
+The reference encodes every prediction's full uint8 mask on the host with
+pycocotools' C scan (networks/zutis.py:288-298) — a dense D2H transfer per
+query. Here the TPU does everything after NMS:
+
+  1. compact: gather the <=k_cap kept masks to the front (NMS keeps ~5-20 of
+     the 100 queries), so later stages touch 1/4 of the pixels and the host
+     boundary carries only kept data;
+  2. runs: find each mask's column-major run boundaries with vector ops —
+     a shifted-compare marks transitions, `col_cap` min-extraction sweeps
+     pull the per-column transition rows (no scatter, no big sort: TPU
+     scatters serialise and a full Fortran-order sort would touch H*W keys),
+     and one small sort over the [W * col_cap] candidates yields the global
+     boundary list;
+  3. sidecars: tight bbox + area per kept mask from plain reductions.
+
+The host receives a few KB per image (counts + indices + boxes) instead of
+megabytes of mask bytes, turns counts into COCO strings (native/rle.cc), and
+falls back to the packed-bits path only for masks that overflow the static
+caps (counted in `overflow`/`n_kept` so the fallback is exact, never lossy).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _counts_one(mask, h_i, w_i, col_cap: int, max_runs: int):
+    """One mask [H, W] bool (zeroed outside the (h_i, w_i) window) ->
+    (counts [max_runs+1] i32, n_trans i32, overflow bool, bbox [4] i32
+    xyxy, area i32). counts[:n_trans+1] is the COCO run-length sequence of
+    the window's Fortran-order flatten (leading zero-run included)."""
+    H, W = mask.shape
+    rows = jnp.arange(H, dtype=jnp.int32)[:, None]  # [H, 1]
+    cols = jnp.arange(W, dtype=jnp.int32)[None, :]  # [1, W]
+    inside = (rows < h_i) & (cols < w_i)
+    m = mask & inside
+
+    # F-order predecessor: (r-1, c) for r>0; (h_i-1, c-1) for r==0 (0 at the
+    # very start) — so runs continue across column boundaries exactly as in
+    # the flat column-major scan
+    lastrow = jnp.take_along_axis(
+        m, jnp.broadcast_to(jnp.maximum(h_i - 1, 0), (1, W)), axis=0)[0]
+    prev_row0 = jnp.concatenate(
+        [jnp.zeros((1,), lastrow.dtype), lastrow[:-1]])
+    prev = jnp.concatenate([prev_row0[None, :], m[:-1, :]], axis=0)
+    trans = (m != prev) & inside
+    colcnt = jnp.sum(trans, axis=0, dtype=jnp.int32)  # [W]
+
+    # per-column transition rows, ascending, via col_cap min-extractions
+    key = jnp.where(trans, rows, H)  # [H, W] int32
+    colpos = []
+    for _ in range(col_cap):
+        cur = jnp.min(key, axis=0)  # [W]
+        colpos.append(cur)
+        key = jnp.where(rows == cur[None, :], H, key)
+    colpos = jnp.stack(colpos, axis=0)  # [col_cap, W]
+
+    n = (h_i * w_i).astype(jnp.int32)
+    pos = jnp.where(colpos < H, cols * h_i + colpos, n)  # [col_cap, W]
+    pos = jnp.sort(pos.reshape(-1))[:max_runs]
+    boundaries = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), pos, n[None]])
+    counts = jnp.diff(boundaries)  # [max_runs + 1]
+    n_trans = jnp.sum(colcnt)
+    overflow = (n_trans > max_runs) | jnp.any(colcnt > col_cap)
+
+    col_any = jnp.any(m, axis=0)
+    row_any = jnp.any(m, axis=1)
+    area = jnp.sum(m, dtype=jnp.int32)
+    big = jnp.int32(1 << 30)
+    xmin = jnp.min(jnp.where(col_any, cols[0], big))
+    xmax = jnp.max(jnp.where(col_any, cols[0], -1))
+    ymin = jnp.min(jnp.where(row_any, rows[:, 0], big))
+    ymax = jnp.max(jnp.where(row_any, rows[:, 0], -1))
+    bbox = jnp.where(
+        area > 0, jnp.stack([xmin, ymin, xmax, ymax]), jnp.zeros(4, jnp.int32)
+    )
+    return counts, n_trans, overflow, bbox, area
+
+
+def rle_encode_masks_device(
+    masks: jnp.ndarray,  # [B, Q, H, W] bool, zeroed outside native windows
+    keep: jnp.ndarray,  # [B, Q] bool (NMS output)
+    native_hw: Optional[jnp.ndarray] = None,  # [B, 2] int32; None -> (H, W)
+    k_cap: int = 24,
+    col_cap: int = 8,
+    max_runs: int = 2048,
+) -> Dict[str, jnp.ndarray]:
+    """Compact kept masks and extract their RLE counts on device. Returns
+      q_index [B, k_cap]  query id of each compacted slot (kept first)
+      valid   [B, k_cap]  slot holds a kept mask
+      n_kept  [B]         total kept (> k_cap -> host falls back for extras)
+      counts  [B, k_cap, max_runs+1], n_runs [B, k_cap]
+      overflow[B, k_cap]  per-slot cap overflow -> host falls back
+      bbox    [B, k_cap, 4] xyxy, area [B, k_cap]
+    """
+    B, Q, H, W = masks.shape
+    if native_hw is None:
+        native_hw = jnp.broadcast_to(
+            jnp.asarray([H, W], jnp.int32)[None], (B, 2))
+    order = jnp.argsort(jnp.where(keep, 0, 1), axis=1, stable=True)
+    q_index = order[:, :k_cap]
+    valid = jnp.take_along_axis(keep, q_index, axis=1)
+    n_kept = jnp.sum(keep, axis=1).astype(jnp.int32)
+    sel = jnp.take_along_axis(
+        masks, q_index[:, :, None, None], axis=1)  # [B, k_cap, H, W]
+
+    per_mask = jax.vmap(
+        lambda mk, hw: jax.vmap(
+            lambda m: _counts_one(m, hw[0], hw[1], col_cap, max_runs)
+        )(mk)
+    )
+    counts, n_runs, overflow, bbox, area = per_mask(sel, native_hw)
+    return {
+        "q_index": q_index.astype(jnp.int32),
+        "valid": valid,
+        "n_kept": n_kept,
+        "counts": counts,
+        "n_runs": n_runs.astype(jnp.int32),
+        "overflow": overflow,
+        "bbox": bbox,
+        "area": area,
+    }

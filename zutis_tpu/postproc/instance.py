@@ -57,7 +57,8 @@ def col_stride_bits(h: int) -> int:
 
 
 @partial(jax.jit, static_argnames=("size", "threshold", "temperature",
-                                   "nms_type", "nms_threshold", "pack"))
+                                   "nms_type", "nms_threshold", "pack",
+                                   "rle"))
 def predict_instances_device(
     mask_proposals: jnp.ndarray,  # [b, L, Q, h, w] or [b, Q, h, w], in [0,1]
     patch_tokens: jnp.ndarray,  # [b, h, w, text_dim]
@@ -68,12 +69,15 @@ def predict_instances_device(
     nms_type: str = "hard",
     nms_threshold: float = 0.3,
     pack: bool = False,
+    rle: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Device-side instance decode + NMS. Returns per image (batched):
     masks [b, Q, H, W] bool, scores [b, Q], category_ids [b, Q],
-    keep [b, Q] bool; with pack=True also masks_packed [b, Q, nbytes]
-    uint8 (Fortran-order bits) for the packed host codec — fetch that
-    instead of `masks` and the host boundary shrinks 8x."""
+    keep [b, Q] bool; pack=True adds masks_packed [b, Q, nbytes] uint8
+    (Fortran-order bits, 8x less host traffic than bool masks); rle=True
+    adds the device-computed RLE counts/bbox/area of the kept masks
+    (ops/rle_device.py — kilobytes per image, the eval fast path) plus
+    masks_packed for the cap-overflow fallback."""
     if mask_proposals.ndim == 5:
         mask_proposals = mask_proposals[:, -1]
     b, q = mask_proposals.shape[:2]
@@ -114,8 +118,12 @@ def predict_instances_device(
         "category_ids": category_ids,
         "keep": keep,
     }
-    if pack:
+    if pack or rle:
         out["masks_packed"] = pack_masks_fortran(binary_out)
+    if rle:
+        from zutis_tpu.ops.rle_device import rle_encode_masks_device
+
+        out["rle"] = rle_encode_masks_device(binary_out, keep)
     return out
 
 
@@ -144,6 +152,112 @@ def _unpack_mask_fortran(
     bits = np.unpackbits(np.asarray(packed_row, np.uint8))
     cols = bits[: w * col_stride_bits].reshape(w, col_stride_bits)
     return cols[:, :h].T  # [h, w] row-major
+
+
+def _compress(counts) -> str:
+    return rle_ops._compress_counts([int(c) for c in counts])
+
+
+def instances_to_coco_counts(
+    res: Dict[str, np.ndarray],
+    image_ids: List[int],
+    sizes: List[tuple],  # native (H, W) per image
+    label_id_to_category: Optional[Dict[int, str]] = None,
+    new_label_id_to_old_label_id: Optional[Dict[int, int]] = None,
+    dev_packed=None,  # DEVICE [b, Q, nbytes] packed bits for cap fallback
+    col_stride_bits_packed: Optional[int] = None,
+) -> List[dict]:
+    """COCO prediction dicts from DEVICE-computed RLE counts
+    (ops/rle_device.py): only kilobytes of counts/boxes per image cross the
+    host boundary. Masks that overflowed the static device caps (rare:
+    >k_cap kept, or more runs than max_runs) are recovered exactly from
+    `dev_packed` via per-mask slice fetches. Same output contract and
+    ordering as instances_to_coco."""
+    scores = np.asarray(res["scores"])
+    cats = np.asarray(res["category_ids"])
+    keep = np.asarray(res["keep"])
+    q_index = np.asarray(res["q_index"])
+    valid = np.asarray(res["valid"])
+    n_kept = np.asarray(res["n_kept"])
+    counts = np.asarray(res["counts"])
+    n_runs = np.asarray(res["n_runs"])
+    overflow = np.asarray(res["overflow"])
+    bbox = np.asarray(res["bbox"])
+    area = np.asarray(res["area"])
+    k_cap = q_index.shape[1]
+
+    from zutis_tpu.native import counts_to_strings, native_encode_packed
+
+    entries = []  # (bi, qi, image_id, hw, kind, slot)
+    for bi, image_id in enumerate(image_ids):
+        hw = (int(sizes[bi][0]), int(sizes[bi][1]))
+        kept_q = np.flatnonzero(keep[bi])
+        slot_of = {int(q): si for si, q in enumerate(q_index[bi])
+                   if valid[bi, si]}
+        for qi in kept_q:
+            qi = int(qi)
+            si = slot_of.get(qi)
+            if si is not None and not overflow[bi, si]:
+                if area[bi, si] == 0:
+                    continue
+                entries.append((bi, qi, image_id, hw, "counts", si))
+            else:
+                # cap overflow (si None happens only when n_kept > k_cap)
+                entries.append((bi, qi, image_id, hw, "packed", -1))
+    del n_kept  # q_index/valid already encode the cap truncation
+
+    # batch-compress the counts-path masks
+    c_entries = [e for e in entries if e[4] == "counts"]
+    strings: List[str] = []
+    if c_entries:
+        cc = np.stack([counts[bi, si] for (bi, _, _, _, _, si) in c_entries])
+        nn = np.asarray([n_runs[bi, si] + 1
+                         for (bi, _, _, _, _, si) in c_entries])
+        got = counts_to_strings(cc.astype(np.int64), nn)
+        strings = (got if got is not None
+                   else [_compress(cc[i][:nn[i]]) for i in range(len(cc))])
+    s_iter = iter(strings)
+
+    preds: List[dict] = []
+    for bi, qi, image_id, hw, kind, si in entries:
+        if kind == "counts":
+            seg = {"size": [hw[0], hw[1]], "counts": next(s_iter)}
+            box = [float(v) for v in bbox[bi, si]]
+        else:
+            assert dev_packed is not None, (
+                "device RLE cap overflow needs the packed-bits fallback"
+            )
+            row = np.asarray(dev_packed[bi, qi])  # one mask's bits only
+            enc = native_encode_packed(
+                row[None], np.asarray([0]), col_stride_bits_packed,
+                np.asarray([hw[0]]), np.asarray([hw[1]]))
+            if enc is not None:
+                (s,), bxs, ars = enc
+                if ars[0] == 0:
+                    continue
+                seg = {"size": [hw[0], hw[1]], "counts": s}
+                box = [float(v) for v in bxs[0]]
+            else:
+                m = _unpack_mask_fortran(row, col_stride_bits_packed, *hw)
+                if m.sum() == 0:
+                    continue
+                seg = rle_ops.encode(m)
+                box = rle_ops.to_bbox(m)
+        cid = int(cats[bi, qi])
+        label_id = (new_label_id_to_old_label_id[cid]
+                    if new_label_id_to_old_label_id is not None else cid)
+        pred = {
+            "category_id": label_id,
+            "segmentation": seg,
+            "score": float(scores[bi, qi]),
+            "image_id": image_id,
+            "image_size": hw,
+            "bbox": box,
+        }
+        if label_id_to_category is not None:
+            pred["pred_class"] = label_id_to_category[label_id]
+        preds.append(pred)
+    return preds
 
 
 def instances_to_coco_packed(

@@ -68,9 +68,9 @@ def main() -> None:
     def run_once():
         dev = step(params, padded_d, grid_d, pix_d)
         if args.path == "counts":
-            res = {k: np.asarray(dev[k])
-                   for k in ("scores", "category_ids", "keep")}
-            res.update({k: np.asarray(v) for k, v in dev["rle"].items()})
+            from zutis_tpu.ops.rle_device import unpack_host_blob
+
+            res = unpack_host_blob(np.asarray(dev["host_blob"]))
             return instances_to_coco_counts(
                 res, image_ids=list(range(B)), sizes=sizes,
                 new_label_id_to_old_label_id=label_map,

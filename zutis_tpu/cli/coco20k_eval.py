@@ -133,12 +133,12 @@ def main(argv=None):
             dev = steps[shape](
                 params, jnp.asarray(padded), jnp.asarray(native_grid),
                 jnp.asarray(native_pixels))
-            # masks (dense and packed) stay on device: the device-computed
-            # RLE counts + boxes are the only per-pixel-derived data that
-            # crosses the host boundary (~KB per image)
-            res = {k: np.asarray(dev[k])
-                   for k in ("scores", "category_ids", "keep")}
-            res.update({k: np.asarray(v) for k, v in dev["rle"].items()})
+            # masks (dense and packed) stay on device: ONE host_blob fetch
+            # carries the device RLE counts + per-query scalars (~KB per
+            # image, one D2H round-trip)
+            from zutis_tpu.ops.rle_device import unpack_host_blob
+
+            res = unpack_host_blob(np.asarray(dev["host_blob"]))
             for j, (image_id, img) in enumerate(items):
                 H, W = img.shape[-2:]
                 maybe_visualise(image_id, img, dev["masks"], res, j, H, W)
@@ -174,9 +174,9 @@ def main(argv=None):
                 size=(int(H), int(W)), threshold=args.threshold,
                 nms_type=args.nms_type, rle=True,
             )
-            res = {k: np.asarray(dev[k])
-                   for k in ("scores", "category_ids", "keep")}
-            res.update({k: np.asarray(v) for k, v in dev["rle"].items()})
+            from zutis_tpu.ops.rle_device import unpack_host_blob
+
+            res = unpack_host_blob(np.asarray(dev["host_blob"]))
             maybe_visualise(image_id, img_np, dev["masks"], res, 0,
                             int(H), int(W))
             predictions.extend(instances_to_coco_counts(

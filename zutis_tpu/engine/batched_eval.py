@@ -147,16 +147,28 @@ def make_instance_step(
     model, text_embeddings, out_hw: Tuple[int, int],
     threshold: float = 0.5, temperature: float = 5.0,
     nms_type: str = "hard", nms_threshold: float = 0.3,
+    uint8_input: bool = False,
 ):
     """jitted: -> dict(masks [B,Q,Hb,Wb] bool, masks_packed [B,Q,nbytes]
-    uint8, scores, category_ids, keep, semantic [B,Hb,Wb]) — reference
-    predict("instance") semantics (networks/zutis.py:374-470) on each valid
-    window. Hosts should fetch `masks_packed` (Fortran-order bits, column
-    stride Hb) and decode kept masks with the packed C++ codec; `masks`
-    stays device-side for visualisation slices."""
+    uint8, rle {...}, host_blob [N] int32, scores, category_ids, keep,
+    semantic [B,Hb,Wb]) — reference predict("instance") semantics
+    (networks/zutis.py:374-470) on each valid window. Hosts fetch
+    `host_blob` ONCE (ops/rle_device.py pack/unpack — device RLE counts +
+    every per-query scalar); masks/masks_packed stay device-side for
+    visualisation slices and cap-overflow fallback. uint8_input=True takes
+    raw [B,3,Hb,Wb] uint8 RGB and normalises on device (4x less H2D than
+    host-normalised f32)."""
 
     @jax.jit
     def step(params, images, native_grid, native_pixels):
+        if uint8_input:
+            from zutis_tpu.data.transforms import (
+                IMAGENET_MEAN, IMAGENET_STD,
+            )
+
+            mean = jnp.asarray(IMAGENET_MEAN)[None, :, None, None]
+            std = jnp.asarray(IMAGENET_STD)[None, :, None, None]
+            images = (images.astype(jnp.float32) / 255.0 - mean) / std
         out = model.apply(
             {"params": params}, images, native_grid,
             method=type(model).forward_padded,
@@ -204,13 +216,16 @@ def make_instance_step(
         sem = jnp.einsum("boh,bchw->bcow", wh, logits)
         sem = jnp.einsum("bow,bchw->bcho", ww, sem)
         semantic = jnp.argmax(sem, axis=1).astype(jnp.int32)
-        from zutis_tpu.ops.rle_device import rle_encode_masks_device
+        from zutis_tpu.ops.rle_device import (
+            pack_host_blob, rle_encode_masks_device,
+        )
         from zutis_tpu.postproc.instance import pack_masks_fortran
 
+        rle = rle_encode_masks_device(masks, keep, native_hw=native_pixels)
         return {
             "masks": masks, "masks_packed": pack_masks_fortran(masks),
-            "rle": rle_encode_masks_device(
-                masks, keep, native_hw=native_pixels),
+            "rle": rle,
+            "host_blob": pack_host_blob(out_scores, category_ids, keep, rle),
             "scores": out_scores,
             "category_ids": category_ids, "keep": keep,
             "semantic": semantic,

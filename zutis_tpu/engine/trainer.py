@@ -343,13 +343,13 @@ class Trainer:
             logits = resize_2d(logits, (H, W), mode="linear")
             sem_pred = np.asarray(jnp.argmax(logits, axis=1))
             if want_instances:
+                from zutis_tpu.ops.rle_device import unpack_host_blob
+
                 dev = predict_instances_device(
                     out["mask_proposals"], out["patch_tokens"],
                     self.text_embeddings, size=(H, W), rle=True,
                 )
-                res = {k: np.asarray(dev[k])
-                       for k in ("scores", "category_ids", "keep")}
-                res.update({k: np.asarray(v) for k, v in dev["rle"].items()})
+                res = unpack_host_blob(np.asarray(dev["host_blob"]))
                 instance_predictions.extend(instances_to_coco_counts(
                     res,
                     image_ids=[s["image_id"] for s in items],
@@ -397,13 +397,13 @@ class Trainer:
             sem_pred = np.asarray(jnp.argmax(logits, axis=1))
 
             if dataset_name == "coco2017":
+                from zutis_tpu.ops.rle_device import unpack_host_blob
+
                 dev = predict_instances_device(
                     out["mask_proposals"], out["patch_tokens"],
                     self.text_embeddings, size=(int(H), int(W)), rle=True,
                 )
-                res = {k: np.asarray(dev[k])
-                       for k in ("scores", "category_ids", "keep")}
-                res.update({k: np.asarray(v) for k, v in dev["rle"].items()})
+                res = unpack_host_blob(np.asarray(dev["host_blob"]))
                 preds = instances_to_coco_counts(
                     res,
                     image_ids=[sample["image_id"]],
@@ -456,14 +456,13 @@ class Trainer:
                 jnp.asarray(out_pixels),
             )
             if want_instances:
-                # masks (dense AND packed bits) stay on device; the
-                # device-computed RLE counts carry the segmentations across
-                # the host boundary at a few KB per image
+                # masks (dense AND packed bits) stay on device; ONE blob
+                # fetch carries the device RLE counts + per-query scalars
+                # (a few KB per image, single D2H round-trip)
+                from zutis_tpu.ops.rle_device import unpack_host_blob
+
                 sem = np.asarray(result["semantic"])
-                res = {k: np.asarray(result[k])
-                       for k in ("scores", "category_ids", "keep")}
-                res.update(
-                    {k: np.asarray(v) for k, v in result["rle"].items()})
+                res = unpack_host_blob(np.asarray(result["host_blob"]))
             else:
                 sem = np.asarray(result)
             for j, s in enumerate(items):

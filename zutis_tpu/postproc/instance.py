@@ -121,9 +121,14 @@ def predict_instances_device(
     if pack or rle:
         out["masks_packed"] = pack_masks_fortran(binary_out)
     if rle:
-        from zutis_tpu.ops.rle_device import rle_encode_masks_device
+        from zutis_tpu.ops.rle_device import (
+            pack_host_blob, rle_encode_masks_device,
+        )
 
-        out["rle"] = rle_encode_masks_device(binary_out, keep)
+        rle_out = rle_encode_masks_device(binary_out, keep)
+        out["rle"] = rle_out
+        out["host_blob"] = pack_host_blob(
+            out_scores, category_ids, keep, rle_out)
     return out
 
 

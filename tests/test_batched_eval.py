@@ -106,3 +106,39 @@ def test_bucketing_helpers():
     assert buckets[(256, 256)] == [3]
     batches = list(BE.iter_bucketed_batches(buckets, batch_size=1))
     assert len(batches) == 4
+
+
+def test_uint8_input_step_matches_f32(setup):
+    """make_instance_step(uint8_input=True) takes raw uint8 RGB and
+    normalises on device — outputs match the host-normalised f32 path
+    (coco20k_eval's raw-transport batched regime)."""
+    from zutis_tpu.data.transforms import normalize_image
+
+    model, params, _, text = setup
+    rng = np.random.RandomState(3)
+    raw = [rng.randint(0, 256, (h, w, 3), np.uint8) for h, w in SIZES]
+    f32 = [normalize_image(r) for r in raw]
+    u8 = [np.ascontiguousarray(r.transpose(2, 0, 1)) for r in raw]
+
+    pf, gf, xf = BE.pad_batch(f32, BUCKET, len(f32), 16)
+    pu, gu, xu = BE.pad_batch(u8, BUCKET, len(u8), 16, dtype=np.uint8)
+    assert pu.dtype == np.uint8
+    step_f = BE.make_instance_step(model, text, BUCKET, threshold=0.4)
+    step_u = BE.make_instance_step(model, text, BUCKET, threshold=0.4,
+                                   uint8_input=True)
+    out_f = step_f(params, jnp.asarray(pf), jnp.asarray(gf), jnp.asarray(xf))
+    out_u = step_u(params, jnp.asarray(pu), jnp.asarray(gu), jnp.asarray(xu))
+    np.testing.assert_array_equal(np.asarray(out_f["keep"]),
+                                  np.asarray(out_u["keep"]))
+    np.testing.assert_array_equal(np.asarray(out_f["masks"]),
+                                  np.asarray(out_u["masks"]))
+    np.testing.assert_allclose(np.asarray(out_f["scores"]),
+                               np.asarray(out_u["scores"]), atol=2e-5)
+    # semantic argmax: compare on valid windows only (padding is garbage by
+    # design) and allow the rare exact-tie flip the ~1e-7 normalisation fp
+    # difference can cause in a tiny random model
+    sem_f = np.asarray(out_f["semantic"])
+    sem_u = np.asarray(out_u["semantic"])
+    for i, (H, W) in enumerate(SIZES):
+        a, b = sem_f[i, :H, :W], sem_u[i, :H, :W]
+        assert (a != b).mean() < 5e-3, f"image {i}: {(a != b).mean():.4f}"

@@ -91,6 +91,14 @@ def main(argv=None):
         p_image = f"{args.dir_dataset}/train2014/{info['file_name']}"
         return normalize_image(Image.open(p_image).convert("RGB"))
 
+    def load_image_u8(image_id):
+        """Raw [3, H, W] uint8 — the batched path ships these to the device
+        and normalises there (4x less H2D than host-normalised f32)."""
+        info = coco.load_img(image_id)
+        p_image = f"{args.dir_dataset}/train2014/{info['file_name']}"
+        arr = np.asarray(Image.open(p_image).convert("RGB"), np.uint8)
+        return np.ascontiguousarray(arr.transpose(2, 0, 1))
+
     n_visualised = [0]
 
     def maybe_visualise(image_id, image, dev_masks, res, j, H, W):
@@ -100,6 +108,8 @@ def main(argv=None):
             return
         from zutis_tpu.engine.visualiser import instance_overlay
 
+        if image.dtype == np.uint8:  # raw-transport batched path
+            image = normalize_image(image.transpose(1, 2, 0))
         keep = np.flatnonzero(res["keep"][j])
         masks_j = np.asarray(dev_masks[j])
         instance_overlay(
@@ -125,11 +135,13 @@ def main(argv=None):
         def flush(shape, items):
             images = [img for _, img in items]
             padded, native_grid, native_pixels = BE.pad_batch(
-                images, shape, args.batch_images, model.patch_size)
+                images, shape, args.batch_images, model.patch_size,
+                dtype=np.uint8)
             if shape not in steps:
                 steps[shape] = BE.make_instance_step(
                     model, text_embeddings, shape,
-                    threshold=args.threshold, nms_type=args.nms_type)
+                    threshold=args.threshold, nms_type=args.nms_type,
+                    uint8_input=True)
             dev = steps[shape](
                 params, jnp.asarray(padded), jnp.asarray(native_grid),
                 jnp.asarray(native_pixels))
@@ -152,7 +164,7 @@ def main(argv=None):
             ))
 
         for image_id in image_ids:
-            img = load_image(image_id)
+            img = load_image_u8(image_id)
             shape = BE.bucket_shape(*img.shape[-2:])
             pending.setdefault(shape, []).append((image_id, img))
             if len(pending[shape]) == args.batch_images:

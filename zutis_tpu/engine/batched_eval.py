@@ -65,12 +65,15 @@ def pad_batch(
     shape: Tuple[int, int],
     batch_size: int,
     patch_size: int,
+    dtype=np.float32,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """-> (padded [B, 3, Hb, Wb], native_grid [B, 2], native_pixels [B, 2]).
-    Short batches are filled by repeating the first image (dropped after)."""
+    Short batches are filled by repeating the first image (dropped after).
+    dtype=np.uint8 pairs with make_instance_step(uint8_input=True): raw RGB
+    crosses the host boundary and normalisation runs on device."""
     Hb, Wb = shape
     B = batch_size
-    out = np.zeros((B, 3, Hb, Wb), np.float32)
+    out = np.zeros((B, 3, Hb, Wb), dtype)
     native_grid = np.ones((B, 2), np.int32)
     native_pixels = np.ones((B, 2), np.int32)
     for i in range(B):

@@ -65,12 +65,13 @@ def main() -> None:
     print(f"steady: {(time.perf_counter() - t0) / n * 1e3:.1f} ms/step",
           flush=True)
 
-    jax.profiler.start_trace(outdir)
-    for _ in range(3):
-        state, metrics = step_fn(state, batch_data)
-    float(metrics["loss"])
-    jax.profiler.stop_trace()
-    print(f"trace written to {outdir}", flush=True)
+    if outdir != "none":
+        jax.profiler.start_trace(outdir)
+        for _ in range(3):
+            state, metrics = step_fn(state, batch_data)
+        float(metrics["loss"])
+        jax.profiler.stop_trace()
+        print(f"trace written to {outdir}", flush=True)
 
 
 if __name__ == "__main__":

@@ -54,15 +54,50 @@ def bce_cost(dt: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
     return -(term_g + term_const) / hw
 
 
+def dice_cost_2d(dt: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """dice_cost with dt [b, Q, H, W] / gt [b, N, H, W] contracted in place:
+    no [b, Q, H*W] flatten — the reshape of a tiled (H, W) layout is a
+    physical 470 MB copy per layer on TPU (measured ~19 ms/step of pure
+    reshapes in the r3 train trace)."""
+    numerator = 2.0 * jnp.einsum(
+        "bnhw,bqhw->bnq", gt, dt, preferred_element_type=jnp.float32
+    )
+    denominator = (dt.sum((-2, -1))[:, None, :]
+                   + gt.sum((-2, -1))[:, :, None])
+    return 1.0 - (numerator + 1.0) / (denominator + 1.0)
+
+
+def bce_cost_2d(dt: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """bce_cost on unflattened [b, ., H, W] tensors (same decomposition)."""
+    hw = dt.shape[-2] * dt.shape[-1]
+    log_d = jnp.clip(jnp.log(dt), -100.0)
+    log_1md = jnp.clip(jnp.log1p(-dt), -100.0)
+    term_g = jnp.einsum(
+        "bnhw,bqhw->bnq", gt, log_d - log_1md,
+        preferred_element_type=jnp.float32,
+    )
+    term_const = log_1md.sum((-2, -1))[:, None, :]
+    return -(term_g + term_const) / hw
+
+
 def cross_entropy_ignore(
-    logits: jnp.ndarray,  # [b, n_cat, H, W]
+    logits: jnp.ndarray,  # [b, n_cat, H, W] or [b, H, W, n_cat]
     labels: jnp.ndarray,  # [b, H, W] int
     ignore_index: int,
+    channels_last: bool = False,
 ) -> jnp.ndarray:
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)
+    """channels_last=True puts the class axis on TPU lanes: the softmax
+    statistics become lane reductions and the label pick a lane gather —
+    the class-major form made XLA materialise a transposed [b, H, W, n]
+    copy anyway (r3 train trace, 8.6 ms bitcast_reduce_fusion)."""
+    axis = -1 if channels_last else 1
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=axis)
     valid = labels != ignore_index
     safe = jnp.where(valid, labels, 0)
-    picked = jnp.take_along_axis(logp, safe[:, None], axis=1)[:, 0]
+    if channels_last:
+        picked = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    else:
+        picked = jnp.take_along_axis(logp, safe[:, None], axis=1)[:, 0]
     losses = jnp.where(valid, -picked, 0.0)
     count = jnp.maximum(valid.sum(), 1)
     return losses.sum() / count
@@ -130,23 +165,29 @@ def criterion_loss(
     # ===== cross-entropy loss =====
     tokens = patch_tokens.transpose(0, 3, 1, 2)  # [b, c, h, w]
     tokens = resize_2d(tokens, (H, W), mode="linear")
+    # class axis LAST (TPU lanes): same math, no transposed duplicate
     logits = jnp.einsum(
-        "nc,bchw->bnhw", text_embeddings, tokens,
+        "nc,bchw->bhwn", text_embeddings, tokens,
         preferred_element_type=jnp.float32,
     )
-    ce = cross_entropy_ignore(logits, gt_semantic_masks, ignore_index)
+    ce = cross_entropy_ignore(logits, gt_semantic_masks, ignore_index,
+                              channels_last=True)
 
     # ===== mask loss =====
-    gt_flat = gt_instance_masks.reshape(b, n_max, H * W).astype(jnp.float32)
+    gt4 = gt_instance_masks.astype(jnp.float32)  # [b, N, H, W]
 
     def per_layer(proposals_l: jnp.ndarray) -> jnp.ndarray:
         """proposals_l: [b, Q, h, w] -> matched cost per image [b]."""
         up = resize_2d(proposals_l, (H, W), mode="linear")
-        up = jnp.clip(up, 0.0, 1.0)  # bilinear stays in range; guard fp error
-        dt = up.reshape(b, Q, H * W)
+        # fp guard for the log()s below: bilinear output is in [0,1] up to
+        # fp error. STRAIGHT-THROUGH clip — the reference doesn't clamp at
+        # all (its torch interpolate feeds BCE directly), so an identity
+        # gradient matches reference backward semantics AND avoids storing
+        # [b, Q, H, W] clip predicates for the VJP (~19 ms/step, r3 trace)
+        up = up + jax.lax.stop_gradient(jnp.clip(up, 0.0, 1.0) - up)
         cost = (
-            weight_dice_loss * dice_cost(dt, gt_flat)
-            + weight_bce_loss * bce_cost(dt, gt_flat)
+            weight_dice_loss * dice_cost_2d(up, gt4)
+            + weight_bce_loss * bce_cost_2d(up, gt4)
         )  # [b, N, Q]
         # padded rows -> constant 0 so they never affect real-row matching
         cost_for_match = jnp.where(instance_valid[..., None], cost, 0.0)
@@ -165,19 +206,20 @@ def criterion_loss(
         matched = jnp.where(instance_valid, matched, 0.0)
         return matched.sum(-1), col4row
 
-    # scan over decoder layers to bound peak memory at one upsampled layer.
+    # unrolled loop over decoder layers, each under jax.checkpoint.
     # jax.checkpoint is ESSENTIAL here: without it the backward pass saves
     # every layer's full-resolution upsampled proposals and cost tensors as
     # residuals ([L, b, Q, H, W] float32 — ~13 GB for the reference's
     # batch-8/384px/6-layer training config, which OOMs a 16 GB chip);
-    # rematerialising them costs one extra resize matmul per layer.
-    def scan_body(_, proposals_l):
-        per_image, col4row = jax.checkpoint(per_layer)(proposals_l)
-        return None, (per_image, col4row)
-
-    _, (per_image_layers, col4rows) = jax.lax.scan(
-        scan_body, None, mask_proposals.transpose(1, 0, 2, 3, 4)
-    )
+    # rematerialising them costs one extra resize matmul per layer. The
+    # UNROLL (vs the r2 lax.scan) keeps the same peak memory — residuals per
+    # layer are only [b, N, Q] costs and [b] sums — but lets XLA schedule
+    # and fuse across layer boundaries instead of through a while-loop
+    # barrier (r3 train trace: the scan body serialised 89 ms/step).
+    outs = [jax.checkpoint(per_layer)(mask_proposals[:, layer])
+            for layer in range(L)]
+    per_image_layers = jnp.stack([o[0] for o in outs])
+    col4rows = jnp.stack([o[1] for o in outs])
     # image with no valid instance contributes 0 (reference skips it)
     any_valid = instance_valid.any(axis=1)
     per_image = jnp.where(any_valid, per_image_layers.sum(0), 0.0)

@@ -118,13 +118,13 @@ def test_repeated_evaluate_retraces_nothing(model_and_params, monkeypatch):
     trainer = Trainer(model, text)
 
     made = []
-    orig = BE.make_semantic_step
+    orig = BE.make_semantic_confusion_step
 
     def counting_maker(*a, **k):
         made.append(1)
         return orig(*a, **k)
 
-    monkeypatch.setattr(BE, "make_semantic_step", counting_maker)
+    monkeypatch.setattr(BE, "make_semantic_confusion_step", counting_maker)
 
     # bucketed regime: step makers run once per key, not once per call
     first = trainer.evaluate(params, ds, batch_images=2)

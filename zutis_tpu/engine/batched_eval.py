@@ -122,26 +122,53 @@ def _native_resize_mats(
     return wh, ww
 
 
+def _semantic_argmax(model, text_embeddings, out_hw, params, images,
+                     native_grid, native_pixels):
+    out = model.apply(
+        {"params": params}, images, native_grid,
+        method=type(model).forward_padded,
+    )
+    logits = jnp.einsum(
+        "nc,bhwc->bnhw", text_embeddings, out["patch_tokens"],
+        preferred_element_type=jnp.float32,
+    )
+    feat_pad = logits.shape[-2:]
+    wh, ww = _native_resize_mats(
+        feat_pad, out["native_grid"], native_pixels, out_hw)
+    up = jnp.einsum("boh,bchw->bcow", wh, logits)
+    up = jnp.einsum("bow,bchw->bcho", ww, up)
+    return jnp.argmax(up, axis=1).astype(jnp.int32)
+
+
 def make_semantic_step(model, text_embeddings, out_hw: Tuple[int, int]):
     """jitted: (params, images, native_grid, native_pixels) ->
     semantic argmax [B, Hb, Wb] int32 (valid per-sample window only)."""
 
     @jax.jit
     def step(params, images, native_grid, native_pixels):
-        out = model.apply(
-            {"params": params}, images, native_grid,
-            method=type(model).forward_padded,
-        )
-        logits = jnp.einsum(
-            "nc,bhwc->bnhw", text_embeddings, out["patch_tokens"],
-            preferred_element_type=jnp.float32,
-        )
-        feat_pad = logits.shape[-2:]
-        wh, ww = _native_resize_mats(
-            feat_pad, out["native_grid"], native_pixels, out_hw)
-        up = jnp.einsum("boh,bchw->bcow", wh, logits)
-        up = jnp.einsum("bow,bchw->bcho", ww, up)
-        return jnp.argmax(up, axis=1).astype(jnp.int32)
+        return _semantic_argmax(model, text_embeddings, out_hw, params,
+                                images, native_grid, native_pixels)
+
+    return step
+
+
+def make_semantic_confusion_step(
+    model, text_embeddings, out_hw: Tuple[int, int], n_classes: int,
+):
+    """jitted: (params, images, native_grid, native_pixels, gt) ->
+    [n_classes, n_classes] confusion histogram over every VALID gt pixel.
+    gt arrives padded to the output bucket with -1 outside each sample's
+    target window (and for short-batch filler slots), so the histogram
+    equals per-image metric updates exactly while the dense semantic map
+    never crosses the host boundary — under the tunnelled runtime the
+    21 MB/flush argmax fetch was the semantic-eval bottleneck."""
+    from zutis_tpu.engine.metrics import confusion_update
+
+    @jax.jit
+    def step(params, images, native_grid, native_pixels, gt):
+        sem = _semantic_argmax(model, text_embeddings, out_hw, params,
+                               images, native_grid, native_pixels)
+        return confusion_update(gt, sem, n_classes)
 
     return step
 

@@ -431,9 +431,11 @@ class Trainer:
 
         patch = self.model.patch_size
         want_instances = dataset_name == "coco2017"
+        n_classes = metric_meter.n_classes
         # bucketed step programs persist across evaluate() calls
         steps = self._bucket_steps
         pending: Dict = {}
+        conf_acc = [None]  # device-side [C, C] accumulator, fetched once
 
         def flush(key, items):
             (in_shape, out_shape) = key
@@ -445,32 +447,31 @@ class Trainer:
             for j in range(batch_images):
                 s = items[j] if j < len(items) else items[0]
                 out_pixels[j] = self._target_hw(s, dataset_name)
-            skey = (want_instances,) + key
+            skey = (want_instances, n_classes) + key
             if skey not in steps:
-                maker = (BE.make_instance_step if want_instances
-                         else BE.make_semantic_step)
+                maker = (
+                    BE.make_instance_step if want_instances
+                    else lambda m, t, o: BE.make_semantic_confusion_step(
+                        m, t, o, n_classes)
+                )
                 steps[skey] = maker(self.model, self.text_embeddings,
                                     out_shape)
-            result = steps[skey](
-                params, jnp.asarray(padded), jnp.asarray(native_grid),
-                jnp.asarray(out_pixels),
-            )
+            step_args = (params, jnp.asarray(padded),
+                         jnp.asarray(native_grid), jnp.asarray(out_pixels))
             if want_instances:
                 # masks (dense AND packed bits) stay on device; ONE blob
                 # fetch carries the device RLE counts + per-query scalars
                 # (a few KB per image, single D2H round-trip)
                 from zutis_tpu.ops.rle_device import unpack_host_blob
 
+                result = steps[skey](*step_args)
                 sem = np.asarray(result["semantic"])
                 res = unpack_host_blob(np.asarray(result["host_blob"]))
-            else:
-                sem = np.asarray(result)
-            for j, s in enumerate(items):
-                H, W = self._target_hw(s, dataset_name)
-                if "semantic_mask" in s:
-                    metric_meter.update(
-                        s["semantic_mask"][None], sem[j, :H, :W][None])
-            if want_instances:
+                for j, s in enumerate(items):
+                    H, W = self._target_hw(s, dataset_name)
+                    if "semantic_mask" in s:
+                        metric_meter.update(
+                            s["semantic_mask"][None], sem[j, :H, :W][None])
                 instance_predictions.extend(instances_to_coco_counts(
                     res,
                     image_ids=[s["image_id"] for s in items],
@@ -479,6 +480,18 @@ class Trainer:
                     dev_packed=result["masks_packed"],
                     col_stride_bits_packed=out_shape[0],
                 ))
+            else:
+                # semantic map stays on device: gt rides up padded with -1
+                # (outside target windows / filler slots / no-gt samples)
+                # and only the [C, C] confusion ever comes back
+                gt_pad = np.full((batch_images, *out_shape), -1, np.int32)
+                for j, s in enumerate(items):
+                    if "semantic_mask" in s:
+                        H, W = self._target_hw(s, dataset_name)
+                        gt_pad[j, :H, :W] = s["semantic_mask"]
+                conf = steps[skey](*step_args, jnp.asarray(gt_pad))
+                conf_acc[0] = (conf if conf_acc[0] is None
+                               else conf_acc[0] + conf)
 
         for i in range(n):
             sample = dataset[i]
@@ -491,6 +504,8 @@ class Trainer:
                 flush(key, pending.pop(key))
         for key, items in pending.items():
             flush(key, items)
+        if conf_acc[0] is not None:
+            metric_meter.confusion_matrix += np.asarray(conf_acc[0])
         return n
 
     @staticmethod

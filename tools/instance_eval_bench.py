@@ -51,7 +51,7 @@ def main() -> None:
     text = rng.randn(n_cat, 512).astype(np.float32)
     text = jnp.asarray(text / np.linalg.norm(text, axis=1, keepdims=True))
 
-    step = BE.make_instance_step(model, text, shape)
+    step = BE.make_instance_step(model, text, shape, semantic_mode="none")
 
     B = args.batch
     # COCO-like native sizes inside the 512x640 bucket

@@ -138,10 +138,11 @@ def main(argv=None):
                 images, shape, args.batch_images, model.patch_size,
                 dtype=np.uint8)
             if shape not in steps:
+                # AP eval never reads the semantic map — skip its decode
                 steps[shape] = BE.make_instance_step(
                     model, text_embeddings, shape,
                     threshold=args.threshold, nms_type=args.nms_type,
-                    uint8_input=True)
+                    uint8_input=True, semantic_mode="none")
             dev = steps[shape](
                 params, jnp.asarray(padded), jnp.asarray(native_grid),
                 jnp.asarray(native_pixels))

@@ -178,19 +178,27 @@ def make_instance_step(
     threshold: float = 0.5, temperature: float = 5.0,
     nms_type: str = "hard", nms_threshold: float = 0.3,
     uint8_input: bool = False,
+    semantic_mode: str = "map",  # "map" | "confusion" | "none"
+    n_classes: int = 0,  # required for semantic_mode="confusion"
 ):
     """jitted: -> dict(masks [B,Q,Hb,Wb] bool, masks_packed [B,Q,nbytes]
     uint8, rle {...}, host_blob [N] int32, scores, category_ids, keep,
-    semantic [B,Hb,Wb]) — reference predict("instance") semantics
+    + the semantic output) — reference predict("instance") semantics
     (networks/zutis.py:374-470) on each valid window. Hosts fetch
     `host_blob` ONCE (ops/rle_device.py pack/unpack — device RLE counts +
     every per-query scalar); masks/masks_packed stay device-side for
     visualisation slices and cap-overflow fallback. uint8_input=True takes
     raw [B,3,Hb,Wb] uint8 RGB and normalises on device (4x less H2D than
-    host-normalised f32)."""
+    host-normalised f32).
+
+    semantic_mode: "map" returns the dense argmax under "semantic";
+    "confusion" takes a 5th argument gt [B,Ho,Wo] int32 (-1 outside target
+    windows) and returns the [C,C] histogram under "confusion" (the
+    Trainer's path — no dense map crosses the host boundary); "none" skips
+    the semantic decode entirely (coco20k AP eval never uses it)."""
 
     @jax.jit
-    def step(params, images, native_grid, native_pixels):
+    def step(params, images, native_grid, native_pixels, gt=None):
         if uint8_input:
             from zutis_tpu.data.transforms import (
                 IMAGENET_MEAN, IMAGENET_STD,
@@ -239,26 +247,33 @@ def make_instance_step(
                                      nms_type=nms_type)
         )(masks, confidence, category_ids)
 
-        logits = jnp.einsum(
-            "nc,bhwc->bnhw", text_embeddings, tokens,
-            preferred_element_type=jnp.float32,
-        )
-        sem = jnp.einsum("boh,bchw->bcow", wh, logits)
-        sem = jnp.einsum("bow,bchw->bcho", ww, sem)
-        semantic = jnp.argmax(sem, axis=1).astype(jnp.int32)
         from zutis_tpu.ops.rle_device import (
             pack_host_blob, rle_encode_masks_device,
         )
         from zutis_tpu.postproc.instance import pack_masks_fortran
 
         rle = rle_encode_masks_device(masks, keep, native_hw=native_pixels)
-        return {
+        out = {
             "masks": masks, "masks_packed": pack_masks_fortran(masks),
             "rle": rle,
             "host_blob": pack_host_blob(out_scores, category_ids, keep, rle),
             "scores": out_scores,
             "category_ids": category_ids, "keep": keep,
-            "semantic": semantic,
         }
+        if semantic_mode != "none":
+            logits = jnp.einsum(
+                "nc,bhwc->bnhw", text_embeddings, tokens,
+                preferred_element_type=jnp.float32,
+            )
+            sem = jnp.einsum("boh,bchw->bcow", wh, logits)
+            sem = jnp.einsum("bow,bchw->bcho", ww, sem)
+            semantic = jnp.argmax(sem, axis=1).astype(jnp.int32)
+            if semantic_mode == "confusion":
+                from zutis_tpu.engine.metrics import confusion_update
+
+                out["confusion"] = confusion_update(gt, semantic, n_classes)
+            else:
+                out["semantic"] = semantic
+        return out
 
     return step

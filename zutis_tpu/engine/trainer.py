@@ -450,14 +450,27 @@ class Trainer:
             skey = (want_instances, n_classes) + key
             if skey not in steps:
                 maker = (
-                    BE.make_instance_step if want_instances
-                    else lambda m, t, o: BE.make_semantic_confusion_step(
-                        m, t, o, n_classes)
+                    (lambda m, t, o: BE.make_instance_step(
+                        m, t, o, semantic_mode="confusion",
+                        n_classes=n_classes))
+                    if want_instances
+                    else (lambda m, t, o: BE.make_semantic_confusion_step(
+                        m, t, o, n_classes))
                 )
                 steps[skey] = maker(self.model, self.text_embeddings,
                                     out_shape)
+            # the dense semantic map stays on device in BOTH regimes: gt
+            # rides up padded with -1 (outside target windows / filler
+            # slots / no-gt samples) and only the [C, C] confusion comes
+            # back, accumulated on device until evaluate() ends
+            gt_pad = np.full((batch_images, *out_shape), -1, np.int32)
+            for j, s in enumerate(items):
+                if "semantic_mask" in s:
+                    H, W = self._target_hw(s, dataset_name)
+                    gt_pad[j, :H, :W] = s["semantic_mask"]
             step_args = (params, jnp.asarray(padded),
-                         jnp.asarray(native_grid), jnp.asarray(out_pixels))
+                         jnp.asarray(native_grid), jnp.asarray(out_pixels),
+                         jnp.asarray(gt_pad))
             if want_instances:
                 # masks (dense AND packed bits) stay on device; ONE blob
                 # fetch carries the device RLE counts + per-query scalars
@@ -465,13 +478,8 @@ class Trainer:
                 from zutis_tpu.ops.rle_device import unpack_host_blob
 
                 result = steps[skey](*step_args)
-                sem = np.asarray(result["semantic"])
+                conf = result["confusion"]
                 res = unpack_host_blob(np.asarray(result["host_blob"]))
-                for j, s in enumerate(items):
-                    H, W = self._target_hw(s, dataset_name)
-                    if "semantic_mask" in s:
-                        metric_meter.update(
-                            s["semantic_mask"][None], sem[j, :H, :W][None])
                 instance_predictions.extend(instances_to_coco_counts(
                     res,
                     image_ids=[s["image_id"] for s in items],
@@ -481,17 +489,9 @@ class Trainer:
                     col_stride_bits_packed=out_shape[0],
                 ))
             else:
-                # semantic map stays on device: gt rides up padded with -1
-                # (outside target windows / filler slots / no-gt samples)
-                # and only the [C, C] confusion ever comes back
-                gt_pad = np.full((batch_images, *out_shape), -1, np.int32)
-                for j, s in enumerate(items):
-                    if "semantic_mask" in s:
-                        H, W = self._target_hw(s, dataset_name)
-                        gt_pad[j, :H, :W] = s["semantic_mask"]
-                conf = steps[skey](*step_args, jnp.asarray(gt_pad))
-                conf_acc[0] = (conf if conf_acc[0] is None
-                               else conf_acc[0] + conf)
+                conf = steps[skey](*step_args)
+            conf_acc[0] = (conf if conf_acc[0] is None
+                           else conf_acc[0] + conf)
 
         for i in range(n):
             sample = dataset[i]

@@ -9,4 +9,4 @@ redesigned TPU-first: jitted train/eval steps, mesh/pjit sharding, Pallas
 kernels on the hot paths.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"

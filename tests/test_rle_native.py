@@ -282,3 +282,33 @@ def test_device_rle_counts_equals_dense():
     for g, w_ in zip(got2, dense2):
         assert g["segmentation"]["counts"] == w_["segmentation"]["counts"]
         assert g["bbox"] == w_["bbox"]
+
+
+def test_host_blob_roundtrip():
+    """pack_host_blob -> unpack_host_blob restores every eval output
+    bit-exactly (single-transfer host boundary, ops/rle_device.py)."""
+    import jax.numpy as jnp
+
+    from zutis_tpu.ops.rle_device import (
+        pack_host_blob, rle_encode_masks_device, unpack_host_blob,
+    )
+
+    rng = np.random.default_rng(7)
+    B, Q, H, W = 2, 6, 24, 16
+    masks = rng.random((B, Q, H, W)) < 0.4
+    keep = rng.random((B, Q)) < 0.5
+    scores = rng.random((B, Q)).astype(np.float32)
+    cats = rng.integers(0, 9, (B, Q)).astype(np.int32)
+    rle = rle_encode_masks_device(
+        jnp.asarray(masks), jnp.asarray(keep), k_cap=4, col_cap=4,
+        max_runs=32)
+    blob = pack_host_blob(jnp.asarray(scores), jnp.asarray(cats),
+                          jnp.asarray(keep), rle)
+    out = unpack_host_blob(np.asarray(blob))
+    np.testing.assert_array_equal(out["scores"], scores)
+    np.testing.assert_array_equal(out["category_ids"], cats)
+    np.testing.assert_array_equal(out["keep"], keep)
+    for k in ("q_index", "valid", "n_kept", "counts", "n_runs",
+              "overflow", "bbox", "area"):
+        np.testing.assert_array_equal(out[k], np.asarray(rle[k]),
+                                      err_msg=k)

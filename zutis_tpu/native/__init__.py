@@ -174,14 +174,19 @@ def counts_to_strings(
     if n == 0:
         return []
     offsets = (ctypes.c_int * n)()
-    # a 64-bit count emits at most 13 five-bit groups; 16/count is safe slack
+    # a 64-bit count emits at most 13 five-bit groups; 16/count is safe
+    # slack — but retry with a larger arena on overflow anyway (mirrors
+    # native_encode_packed) instead of asserting mid-eval
     cap = int(16 * n_counts.sum() + 64 * n)
-    out = ctypes.create_string_buffer(cap)
-    total = lib.rle_counts_to_string_batch(
-        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        n_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-        n, stride, out, cap, offsets)
-    assert total >= 0, "counts_to_strings overflow"
+    while True:
+        out = ctypes.create_string_buffer(cap)
+        total = lib.rle_counts_to_string_batch(
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            n, stride, out, cap, offsets)
+        if total >= 0:
+            break
+        cap *= 4
     bounds = list(offsets) + [total]
     raw = out.raw
     return [raw[bounds[i]:bounds[i + 1]].decode("ascii") for i in range(n)]

@@ -5,13 +5,22 @@ One entry point, `dot_product_attention`, with selectable implementations:
   - "pallas": fused FlashAttention-style Pallas kernel (ops/flash_attention.py)
               — avoids materialising the [b, h, sq, sk] logits in HBM.
   - "auto":   resolves via the ZUTIS_TPU_ATTN env var ("pallas"/"xla");
-              defaults to xla. Rationale: the current axon-tunnelled TPU
-              runtime non-deterministically wedges on Pallas dispatches of
-              ANY kernel (jax's own pallas flash_attention included — see
-              bench.py's fast-path watchdog), so the fused kernel is opt-in
-              rather than the silent default. Falls back to xla whenever a
-              dense additive `bias` is supplied (the kernel supports only
-              key-validity masks, which is all the models need).
+              defaults to xla BY MEASUREMENT (round 3, real v5e chip,
+              PALLAS_QUALIFY.json): at the encoder shapes (seq 577,
+              head_dim 64) every tuned Pallas variant — including jax's own
+              TPU flash kernel at aligned 640 blocks — ran 4.2-4.6 ms/layer
+              isolated vs the tuned XLA path's 2.05 ms/layer in-program.
+              At head_dim 64 the kernel's QK^T uses the MXU at 50% depth and
+              cannot hide the VPU softmax, while XLA's bf16-logits strategy
+              pipelines across layers. (An earlier tunnel wedge on Pallas
+              dispatches no longer reproduces — see PALLAS_QUALIFY.json
+              stage "tiny" — so stability is NOT the reason for the
+              default.) Retry Pallas where flash attention usually wins:
+              much longer sequences (>=2k, where the [s,s] logits stop
+              fitting in VMEM-friendly tiles) and/or head_dim >=128 filling
+              the MXU depth. Falls back to xla whenever a dense additive
+              `bias` is supplied (the kernel supports only key-validity
+              masks, which is all the models need).
 
 Softmax statistics always accumulate in float32 regardless of the compute
 dtype (bf16 activations on TPU).
@@ -57,10 +66,12 @@ def _softmax_weights(logits, scale, bias, kv_mask, compute_dtype):
     # sums < 3e37 << f32 max) gives the same safety with one fewer
     # full pass over the [b,h,sq,sk] tensor — the softmax passes are
     # this path's single largest cost. Values beyond +-80 only occur
-    # where softmax already saturates.
-    logits = jnp.clip(logits, -80.0, 80.0)
+    # where softmax already saturates. The clip happens AFTER the bias
+    # add (same fused cost) so overflow safety holds for any bias, not
+    # just the non-positive causal/padding masks current callers pass.
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
+    logits = jnp.clip(logits, -80.0, 80.0)
     if kv_mask is not None:
         # -200: exp underflows to exactly 0, so masked keys get zero
         # weight without re-introducing overflow risk
@@ -68,9 +79,7 @@ def _softmax_weights(logits, scale, bias, kv_mask, compute_dtype):
     e = jnp.exp(logits)
     # the denominator guard covers the all-keys-masked row (every
     # exp(-200) underflows to exactly 0): those rows produce 0-weights
-    # rather than NaN. NOTE the +-80 clip precedes the bias add, so
-    # overflow safety relies on biases being bounded (all current
-    # callers pass causal/padding masks, i.e. non-positive biases).
+    # rather than NaN.
     return e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
 
 

@@ -120,6 +120,11 @@ def predict_instances_device(
     }
     if pack or rle:
         out["masks_packed"] = pack_masks_fortran(binary_out)
+        # static metadata the host decoders need; a scalar array so it rides
+        # the jit output pytree (instances_to_coco_packed reads it — ADVICE
+        # r3 paired the two APIs on this key)
+        out["col_stride_bits"] = jnp.int32(
+            col_stride_bits(binary_out.shape[-2]))
     if rle:
         from zutis_tpu.ops.rle_device import (
             pack_host_blob, rle_encode_masks_device,

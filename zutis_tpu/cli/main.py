@@ -10,8 +10,14 @@ Without: train on the index dataset (retrieval + pseudo-masks + copy-paste
 synthesis) with periodic eval, mirroring reference main.py:105-162.
 
 TPU-native additions controlled from the config: compute_dtype (bfloat16),
-mesh_axes for DP/TP sharding, checkpoint_every for full-state orbax
-checkpoints with exact resume.
+checkpoint_every for full-state orbax checkpoints with exact resume, and
+mesh_axes for DP/TP sharding: `mesh_axes: {data: 2, model: 4}` builds a
+jax.sharding.Mesh over the first data*model local devices, shards the full
+TrainState (params + AdamW moments) by the TP rules in parallel/mesh.py,
+shards every batch's leading axis over `data`, and runs the ordinary jitted
+train step under GSPMD — numerically equal to the single-device run
+(tests/test_cli_mesh.py). Checkpoints gather to host on save, so a
+preempted run can resume onto a DIFFERENT mesh factorisation.
 """
 from __future__ import annotations
 
@@ -210,6 +216,29 @@ def main(argv=None):
         )
     batch_size = cfg.train_dataloader_kwargs.get("batch_size", 8)
 
+    # ---- device mesh (DP x TP) from config mesh_axes ----
+    mesh = None
+    if cfg.mesh_axes:
+        from zutis_tpu.parallel import create_mesh
+
+        n_mesh = 1
+        for size in cfg.mesh_axes.values():
+            n_mesh *= int(size)
+        devices = jax.devices()
+        assert n_mesh <= len(devices), (
+            f"mesh_axes {cfg.mesh_axes} needs {n_mesh} devices, "
+            f"only {len(devices)} available"
+        )
+        mesh = create_mesh(
+            {k: int(v) for k, v in cfg.mesh_axes.items()},
+            devices=devices[:n_mesh],
+        )
+        data_par = dict(mesh.shape).get("data", 1)
+        assert batch_size % data_par == 0, (
+            f"batch_size {batch_size} must divide by the data axis "
+            f"({data_par})"
+        )
+
     # initialise params, encoder from pretrained CLIP unless told otherwise
     init_x = jnp.zeros((1, 3, cfg.train_image_size, cfg.train_image_size))
     params = model.init(jax.random.PRNGKey(args.seed), init_x)["params"]
@@ -238,20 +267,32 @@ def main(argv=None):
                              process_index=jax.process_index(),
                              process_count=jax.process_count())
 
-    trainer.fit(
-        state, tx, batches, n_iters=cfg.n_iters,
-        n_categories=val_dataset.n_categories,
-        ignore_index=cfg.ignore_index,
-        weight_ce_loss=args.weight_ce_loss,
-        iter_eval=cfg.iter_eval, iter_log=cfg.iter_log,
-        val_dataset=val_dataset,
-        checkpoint_every=cfg.checkpoint_every or None,
-        checkpoint_dir=ckpt_base,
-        # the reference renders triptych/query/matched-pair figures every
-        # iter_log (trainer.py:204-240)
-        visualise=bool(cfg.extras.get("visualise", True)),
-        profile_dir=args.profile_dir or None,
-    )
+    import contextlib
+
+    mesh_ctx = mesh if mesh is not None else contextlib.nullcontext()
+    if mesh is not None:
+        # restore (above) lands on host/default placement; sharding AFTER
+        # restore is what lets a resumed run change mesh factorisation
+        from zutis_tpu.parallel import shard_batch, shard_train_state
+
+        state = shard_train_state(state, mesh)
+        batches = (shard_batch(b, mesh) for b in batches)
+
+    with mesh_ctx:
+        trainer.fit(
+            state, tx, batches, n_iters=cfg.n_iters,
+            n_categories=val_dataset.n_categories,
+            ignore_index=cfg.ignore_index,
+            weight_ce_loss=args.weight_ce_loss,
+            iter_eval=cfg.iter_eval, iter_log=cfg.iter_log,
+            val_dataset=val_dataset,
+            checkpoint_every=cfg.checkpoint_every or None,
+            checkpoint_dir=ckpt_base,
+            # the reference renders triptych/query/matched-pair figures every
+            # iter_log (trainer.py:204-240)
+            visualise=bool(cfg.extras.get("visualise", True)),
+            profile_dir=args.profile_dir or None,
+        )
 
 
 if __name__ == "__main__":

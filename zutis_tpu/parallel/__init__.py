@@ -3,4 +3,5 @@ from zutis_tpu.parallel.mesh import (  # noqa: F401
     param_partition_spec,
     shard_params,
     shard_batch,
+    shard_train_state,
 )

@@ -103,6 +103,19 @@ def shard_params(params, mesh: Mesh, model_axis: str = "model"):
     return jax.device_put(params, shardings)
 
 
+def shard_train_state(state, mesh: Mesh, model_axis: str = "model"):
+    """Place a full TrainState (params + optimiser moments + step) on the
+    mesh. The TP rules match on path TAILS (`.*kernel$` etc.), so the AdamW
+    mu/nu moments — whose paths end with the same param paths — shard
+    identically to their params; scalars (step, count) and unmatched leaves
+    replicate. Because checkpoints restore to host arrays first
+    (core/checkpoint.py), `restore_train_state` + this call re-shards a run
+    onto ANY mesh factorisation, including one different from the mesh it
+    was saved under (tests/test_cli_mesh.py)."""
+    return jax.device_put(
+        state, params_sharding_tree(state, mesh, model_axis))
+
+
 def shard_batch(batch, mesh: Mesh, data_axis: str = "data"):
     """Shard every leaf's leading (batch) dimension over the data axis."""
 

@@ -312,3 +312,46 @@ def test_host_blob_roundtrip():
               "overflow", "bbox", "area"):
         np.testing.assert_array_equal(out[k], np.asarray(rle[k]),
                                       err_msg=k)
+
+
+def test_counts_iou_matches_dense():
+    """RLE-space IoU (C++ two-pointer merge AND the numpy coverage-function
+    fallback) == dense mask_iou, including the crowd denominator."""
+    import zutis_tpu.native as native_mod
+    from zutis_tpu.ops.rle import _counts_from_mask
+
+    rng = np.random.default_rng(7)
+    h, w = 37, 29
+    dts = np.stack([
+        (rng.random((h, w)) < p).astype(np.uint8)
+        for p in (0.3, 0.5, 0.7, 0.0)
+    ])
+    gts = np.stack([
+        (rng.random((h, w)) < p).astype(np.uint8)
+        for p in (0.4, 0.6, 1.0)
+    ])
+    crowd = [False, True, False]
+    dense = rle_ops.mask_iou(dts, gts, iscrowd=crowd)
+    dc = [_counts_from_mask(m) for m in dts]
+    gc = [_counts_from_mask(m) for m in gts]
+
+    got_native = rle_ops.counts_iou(dc, gc, iscrowd=crowd)
+    np.testing.assert_allclose(got_native, dense, rtol=0, atol=1e-12)
+
+    import pytest as _pytest
+
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setattr(native_mod, "native_rle_iou", lambda *a, **k: None)
+        got_py = rle_ops.counts_iou(dc, gc, iscrowd=crowd)
+    np.testing.assert_allclose(got_py, dense, rtol=0, atol=1e-12)
+
+
+def test_native_string_parse_matches_python():
+    from zutis_tpu.native import native_string_to_counts
+    from zutis_tpu.ops.rle import _decompress_counts
+
+    rng = np.random.default_rng(11)
+    for m in _random_masks(rng, n=12):
+        s = rle_ops.encode(m)["counts"]
+        got = native_string_to_counts(s)
+        np.testing.assert_array_equal(got, _decompress_counts(s))

@@ -19,7 +19,10 @@ Protocol summary:
   * stats: the standard 12-number summary.
 
 Segmentation masks arrive as COCO RLE dicts or polygons (converted through
-ops/rle); IoUs are computed with ops/rle.mask_iou.
+ops/rle); IoUs are computed in RLE space with ops/rle.counts_iou (C++
+two-pointer run merge, numpy fallback) — masks are never densified, matching
+pycocotools' maskApi strategy and keeping ~20k-image sweeps off the dense
+path (tools/coco_eval_scale.py records the wall time).
 
 Oracle status: pycocotools is not installable in this environment, so parity
 with the C implementation cannot be asserted in-repo. Coverage instead:
@@ -71,10 +74,15 @@ class COCOEvaluator:
             self.gts[(ann["image_id"], ann["category_id"])].append(ann)
         self.img_ids = sorted(self.imgs)
 
-    def _ann_mask(self, ann: Dict, img: Dict) -> np.ndarray:
-        return rle_ops.segmentation_to_mask(
-            ann["segmentation"], img["height"], img["width"]
-        )
+    def _ann_counts(self, ann: Dict, img: Dict) -> np.ndarray:
+        """Run-length sequence of an annotation's mask. RLE segmentations
+        (the common case — everything our pipeline emits) decompress without
+        ever densifying; polygons rasterise once, then re-encode."""
+        seg = ann["segmentation"]
+        if isinstance(seg, dict):
+            return rle_ops.counts_of(seg)
+        mask = rle_ops.polygons_to_mask(seg, img["height"], img["width"])
+        return rle_ops._counts_from_mask(mask)
 
     def evaluate(self, predictions: List[Dict]) -> Dict[str, float]:
         dts = defaultdict(list)
@@ -106,11 +114,16 @@ class COCOEvaluator:
                     g, d, self.imgs[img_id], max_det_cap))
             if not per_img:
                 continue
+            # concatenate the category's per-image match results ONCE; every
+            # (area, maxDet) cell then reduces over flat arrays with no
+            # Python per-image loop (the r3 accumulate dominated 20k-image
+            # sweeps, tools/coco_eval_scale.py)
+            cat = self._concat_cat(per_img)
             for a, area in enumerate(self.area_labels):
                 rng = AREA_RNG[area]
                 for m, max_det in enumerate(self.max_dets):
                     self._accumulate(
-                        per_img, rng, max_det, precision[:, :, k, a, m],
+                        cat, rng, max_det, precision[:, :, k, a, m],
                         recall[:, k, a, m],
                     )
 
@@ -129,9 +142,12 @@ class COCOEvaluator:
         g_crowd = g_crowd[g_order]
 
         if gts and dts:
-            gm = np.stack([self._ann_mask(g, img) for g in gts])
-            dm = np.stack([rle_ops.decode(d["segmentation"]) for d in dts])
-            ious = rle_ops.mask_iou(dm, gm, iscrowd=g_crowd.tolist())
+            # IoU in RLE space (counts two-pointer merge) — no dense decode;
+            # at COCO-20K scale the dense path's per-pair [h, w] stacks were
+            # the projected end-to-end wall (VERDICT r3)
+            gc = [self._ann_counts(g, img) for g in gts]
+            dc = [rle_ops.counts_of(d["segmentation"]) for d in dts]
+            ious = rle_ops.counts_iou(dc, gc, iscrowd=g_crowd.tolist())
         else:
             ious = np.zeros((len(dts), len(gts)))
 
@@ -183,64 +199,84 @@ class COCOEvaluator:
     def _gt_ignored_base(g: Dict, crowd: bool) -> bool:
         return bool(crowd or g.get("ignore", 0))
 
-    def _accumulate(self, per_img, rng, max_det, precision_out, recall_out):
+    @staticmethod
+    def _concat_cat(per_img):
+        """Flatten one category's per-image match results. `dt_rank` is each
+        detection's 0-based score rank WITHIN its image (detections arrive
+        already score-sorted per image), so capping at maxDet m later is just
+        `dt_rank < m` — no per-image slicing."""
+        dt_score = np.concatenate([r["dt_score"] for r in per_img])
+        dt_rank = np.concatenate(
+            [np.arange(len(r["dt_score"])) for r in per_img])
+        dtm = np.concatenate([r["dtm"] for r in per_img], axis=1)
+        matched_area = np.concatenate(
+            [r["matched_gt_area"] for r in per_img], axis=1)
+        matched_crowd = np.concatenate(
+            [r["dt_ig_match"] for r in per_img], axis=1)
+        dt_area = np.concatenate([r["dt_area"] for r in per_img])
+        gt_area = np.concatenate([r["gt_area"] for r in per_img])
+        gt_crowd = np.concatenate([r["gt_crowd"] for r in per_img])
+        # one stable global sort by descending score, shared by all
+        # (area, maxDet) cells
+        order = np.argsort(-dt_score, kind="mergesort")
+        return {
+            "dt_score": dt_score[order],
+            "dt_rank": dt_rank[order],
+            "dtm": dtm[:, order],
+            "matched_area": matched_area[:, order],
+            "matched_crowd": matched_crowd[:, order],
+            "dt_area": dt_area[order],
+            "gt_area": gt_area,
+            "gt_crowd": gt_crowd,
+        }
+
+    def _accumulate(self, cat, rng, max_det, precision_out, recall_out):
         T = len(self.iou_thrs)
-        scores, tps, fps = [], [], []
-        npig = 0
-        for r in per_img:
-            g_ig = (
-                r["gt_crowd"]
-                | (r["gt_area"] < rng[0])
-                | (r["gt_area"] > rng[1])
-            )
-            npig += int((~g_ig).sum())
-            D = min(max_det, len(r["dt_score"]))
-            if D == 0:
-                continue
-            dtm = r["dtm"][:, :D]
+        g_ig = (
+            cat["gt_crowd"]
+            | (cat["gt_area"] < rng[0])
+            | (cat["gt_area"] > rng[1])
+        )
+        npig = int((~g_ig).sum())
+        if npig == 0:
+            return
+        sel = cat["dt_rank"] < max_det  # per-image maxDet cap, score order
+        dtm = cat["dtm"][:, sel]
+        nd = dtm.shape[1]
+        if nd:
+            matched_area = cat["matched_area"][:, sel]
+            matched_crowd = cat["matched_crowd"][:, sel]
+            dt_area = cat["dt_area"][sel]
             # dt ignored: matched to an ignored gt (by crowd/area) or
             # unmatched with out-of-range area
-            matched_area = r["matched_gt_area"][:, :D]
-            matched_crowd = r["dt_ig_match"][:, :D]
             m_ig = (dtm > 0) & (
                 matched_crowd
                 | (matched_area < rng[0])
                 | (matched_area > rng[1])
             )
-            a_out = (r["dt_area"][:D] < rng[0]) | (r["dt_area"][:D] > rng[1])
+            a_out = (dt_area < rng[0]) | (dt_area > rng[1])
             dt_ig = m_ig | ((dtm == 0) & a_out[None, :])
-            scores.append(r["dt_score"][:D])
-            tps.append((dtm > 0) & ~dt_ig)
-            fps.append((dtm == 0) & ~dt_ig)
-        if npig == 0:
-            return
-        if scores:
-            scores = np.concatenate(scores)
-            order = np.argsort(-scores, kind="mergesort")
-            tp = np.concatenate(tps, axis=1)[:, order].astype(np.float64)
-            fp = np.concatenate(fps, axis=1)[:, order].astype(np.float64)
-            tp_cum = np.cumsum(tp, axis=1)
-            fp_cum = np.cumsum(fp, axis=1)
+            tp_cum = np.cumsum((dtm > 0) & ~dt_ig, axis=1, dtype=np.float64)
+            fp_cum = np.cumsum((dtm == 0) & ~dt_ig, axis=1, dtype=np.float64)
         else:
             tp_cum = np.zeros((T, 0))
             fp_cum = np.zeros((T, 0))
 
+        R = len(self.rec_thrs)
+        rc = tp_cum / npig
+        pr = tp_cum / np.maximum(tp_cum + fp_cum, np.finfo(np.float64).eps)
+        recall_out[:] = rc[:, -1] if nd else 0.0
+        if not nd:
+            precision_out[:] = np.zeros((T, R))
+            return
+        # monotone non-increasing precision envelope (vectorised suffix max)
+        pr = np.maximum.accumulate(pr[:, ::-1], axis=1)[:, ::-1]
+        q = np.zeros((T, R))
         for t in range(T):
-            tp_c, fp_c = tp_cum[t], fp_cum[t]
-            nd = len(tp_c)
-            rc = tp_c / npig
-            pr = tp_c / np.maximum(tp_c + fp_c, np.finfo(np.float64).eps)
-            recall_out[t] = rc[-1] if nd else 0.0
-            q = np.zeros(len(self.rec_thrs))
-            if nd:
-                # monotone non-increasing precision envelope
-                pr = pr.copy()
-                for i in range(nd - 1, 0, -1):
-                    pr[i - 1] = max(pr[i - 1], pr[i])
-                inds = np.searchsorted(rc, self.rec_thrs, side="left")
-                valid = inds < nd
-                q[valid] = pr[inds[valid]]
-            precision_out[t] = q
+            inds = np.searchsorted(rc[t], self.rec_thrs, side="left")
+            valid = inds < nd
+            q[t, valid] = pr[t, inds[valid]]
+        precision_out[:] = q
 
     def _summarize(self) -> Dict[str, float]:
         def ap(iou=None, area="all", max_det=None):

@@ -72,6 +72,19 @@ def load_rle_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int),
     ]
+    lib.rle_string_to_counts.restype = ctypes.c_int
+    lib.rle_string_to_counts.argtypes = [
+        ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+    ]
+    lib.rle_iou_batch.restype = None
+    lib.rle_iou_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_double),
+    ]
     lib.rle_encode_packed_batch.restype = ctypes.c_int
     lib.rle_encode_packed_batch.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
@@ -190,6 +203,58 @@ def counts_to_strings(
     bounds = list(offsets) + [total]
     raw = out.raw
     return [raw[bounds[i]:bounds[i + 1]].decode("ascii") for i in range(n)]
+
+
+def native_string_to_counts(s: str) -> Optional[np.ndarray]:
+    """C++ parse of one COCO counts string -> int64 run sequence (None when
+    the native lib is unavailable). ~100x the Python decoder's speed — at
+    COCO-20K scale string parsing would otherwise dominate the evaluator."""
+    lib = load_rle_lib()
+    if lib is None:
+        return None
+    raw = s.encode("ascii")
+    out = np.empty(len(raw) + 1, np.int64)
+    n = lib.rle_string_to_counts(
+        raw, len(raw), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(out))
+    assert n >= 0, "malformed RLE counts string"
+    return out[:n]
+
+
+def native_rle_iou(
+    dt_counts: List[np.ndarray],  # per-dt run-length sequences (int64)
+    gt_counts: List[np.ndarray],  # per-gt run-length sequences (int64)
+    iscrowd: List[bool],
+) -> Optional[np.ndarray]:
+    """C++ pairwise mask IoU straight from RLE counts (two-pointer run merge,
+    the pycocotools maskApi approach — no densify). -> [n_dt, n_gt] float64,
+    or None when the native lib is unavailable."""
+    lib = load_rle_lib()
+    if lib is None:
+        return None
+    nd, ng = len(dt_counts), len(gt_counts)
+    if nd == 0 or ng == 0:
+        return np.zeros((nd, ng), np.float64)
+    sd = max(len(c) for c in dt_counts)
+    sg = max(len(c) for c in gt_counts)
+    dpad = np.zeros((nd, sd), np.int64)
+    for i, c in enumerate(dt_counts):
+        dpad[i, : len(c)] = c
+    gpad = np.zeros((ng, sg), np.int64)
+    for i, c in enumerate(gt_counts):
+        gpad[i, : len(c)] = c
+    n_dt = np.asarray([len(c) for c in dt_counts], np.int32)
+    n_gt = np.asarray([len(c) for c in gt_counts], np.int32)
+    crowd = np.asarray(iscrowd, np.uint8)
+    out = np.zeros((nd, ng), np.float64)
+    lib.rle_iou_batch(
+        dpad.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_dt.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), nd, sd,
+        gpad.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_gt.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), ng, sg,
+        crowd.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return out
 
 
 def native_encode_batch(masks: np.ndarray) -> Optional[List[str]]:

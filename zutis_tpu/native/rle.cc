@@ -270,4 +270,93 @@ int rle_encode_packed_batch(const uint8_t* packed, int64_t mask_stride,
   return pos;
 }
 
+// Parse a COCO counts string into its run-length sequence (the inverse of
+// emit_counts). Returns the number of counts, or -1 on malformed input /
+// out_cap overflow. Every count consumes >= 1 char, so out_cap = slen always
+// suffices.
+int rle_string_to_counts(const char* s, int slen, int64_t* out, int out_cap) {
+  int n = 0;
+  int p = 0;
+  while (p < slen) {
+    int64_t x = 0;
+    int k = 0;
+    bool more = true;
+    while (more) {
+      if (p >= slen) return -1;
+      int c = s[p++] - 48;
+      x |= (int64_t)(c & 0x1F) << (5 * k);
+      more = (c & 0x20) != 0;
+      if (!more && (c & 0x10)) x |= -((int64_t)1 << (5 * k + 5));
+      ++k;
+    }
+    if (n > 2) x += out[n - 2];
+    if (n >= out_cap) return -1;
+    out[n++] = x;
+  }
+  return n;
+}
+
+// ---------------------------------------------------------------------------
+// RLE-space pairwise mask IoU (the pycocotools maskApi.c approach): walk the
+// two alternating run-length sequences with a two-pointer merge, summing the
+// overlap of simultaneous 1-runs — never densifying either mask. Exact
+// integer arithmetic, so results are bit-identical to dense IoU.
+//
+//   dt/gt counts: padded [n, stride] int64 run sequences (zeros first),
+//   n_dt/n_gt valid prefix lengths per row; crowd[g] nonzero makes the
+//   denominator the dt area (COCO crowd convention).
+// Writes out[d * n_gt + g] doubles.
+
+static void rle_inter_area(const int64_t* a, int na, const int64_t* b, int nb,
+                           int64_t* inter_out) {
+  int64_t inter = 0;
+  int ia = 0, ib = 0;
+  int64_t ca = na > 0 ? a[0] : 0, cb = nb > 0 ? b[0] : 0;
+  bool va = false, vb = false;
+  while (ia < na && ib < nb) {
+    int64_t c = ca < cb ? ca : cb;
+    if (va && vb) inter += c;
+    ca -= c;
+    cb -= c;
+    if (ca == 0) {
+      ++ia;
+      va = !va;
+      if (ia < na) ca = a[ia];
+    }
+    if (cb == 0) {
+      ++ib;
+      vb = !vb;
+      if (ib < nb) cb = b[ib];
+    }
+  }
+  *inter_out = inter;
+}
+
+void rle_iou_batch(const int64_t* dt, const int* n_dt, int nd, int stride_d,
+                   const int64_t* gt, const int* n_gt, int ng, int stride_g,
+                   const uint8_t* crowd, double* out) {
+  std::vector<int64_t> d_area((size_t)nd), g_area((size_t)ng);
+  for (int i = 0; i < nd; ++i) {
+    int64_t area = 0;
+    const int64_t* row = dt + (int64_t)i * stride_d;
+    for (int j = 1; j < n_dt[i]; j += 2) area += row[j];
+    d_area[i] = area;
+  }
+  for (int i = 0; i < ng; ++i) {
+    int64_t area = 0;
+    const int64_t* row = gt + (int64_t)i * stride_g;
+    for (int j = 1; j < n_gt[i]; j += 2) area += row[j];
+    g_area[i] = area;
+  }
+  for (int d = 0; d < nd; ++d) {
+    for (int g = 0; g < ng; ++g) {
+      int64_t inter;
+      rle_inter_area(dt + (int64_t)d * stride_d, n_dt[d],
+                     gt + (int64_t)g * stride_g, n_gt[g], &inter);
+      int64_t uni = crowd[g] ? d_area[d] : d_area[d] + g_area[g] - inter;
+      out[(int64_t)d * ng + g] = uni > 0 ? (double)inter / (double)uni : 0.0;
+    }
+  }
+}
+
 }  // extern "C"

@@ -74,8 +74,7 @@ def main() -> None:
             return instances_to_coco_counts(
                 res, image_ids=list(range(B)), sizes=sizes,
                 new_label_id_to_old_label_id=label_map,
-                dev_packed=dev["masks_packed"],
-                col_stride_bits_packed=shape[0],
+                dev_masks=dev["masks"],
             )
         if args.path == "dense":
             res = {k: np.asarray(v) for k, v in dev.items()
@@ -94,8 +93,16 @@ def main() -> None:
                     new_label_id_to_old_label_id=label_map,
                 ))
             return preds
-        res = {k: np.asarray(v) for k, v in dev.items()
-               if k not in ("masks", "semantic")}
+        # "packed": r3's packed-bits transport, kept for comparison — the
+        # hot step no longer emits masks_packed, so pack here via a jitted
+        # device pack of the dense masks (same bytes crossing the boundary)
+        from zutis_tpu.postproc.instance import pack_masks_fortran
+
+        res = {k: np.asarray(v)
+               for k, v in dev.items() if k in ("scores", "category_ids",
+                                                "keep")}
+        res["masks_packed"] = np.asarray(jax.jit(pack_masks_fortran)(
+            dev["masks"]))
         res["col_stride_bits"] = shape[0]
         return instances_to_coco_packed(
             res, image_ids=list(range(B)), sizes=sizes,

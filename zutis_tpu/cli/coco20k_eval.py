@@ -160,8 +160,7 @@ def main(argv=None):
                 image_ids=[iid for iid, _ in items],
                 sizes=[tuple(img.shape[-2:]) for _, img in items],
                 new_label_id_to_old_label_id=new_label_id_to_old_label_id,
-                dev_packed=dev["masks_packed"],
-                col_stride_bits_packed=shape[0],
+                dev_masks=dev["masks"],
             ))
 
         for image_id in image_ids:

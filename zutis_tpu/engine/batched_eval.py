@@ -181,13 +181,13 @@ def make_instance_step(
     semantic_mode: str = "map",  # "map" | "confusion" | "none"
     n_classes: int = 0,  # required for semantic_mode="confusion"
 ):
-    """jitted: -> dict(masks [B,Q,Hb,Wb] bool, masks_packed [B,Q,nbytes]
-    uint8, rle {...}, host_blob [N] int32, scores, category_ids, keep,
-    + the semantic output) — reference predict("instance") semantics
-    (networks/zutis.py:374-470) on each valid window. Hosts fetch
-    `host_blob` ONCE (ops/rle_device.py pack/unpack — device RLE counts +
-    every per-query scalar); masks/masks_packed stay device-side for
-    visualisation slices and cap-overflow fallback. uint8_input=True takes
+    """jitted: -> dict(masks [B,Q,Hb,Wb] bool, rle {...}, host_blob [N]
+    int32, scores, category_ids, keep, + the semantic output) — reference
+    predict("instance") semantics (networks/zutis.py:374-470) on each valid
+    window. Hosts fetch `host_blob` ONCE (ops/rle_device.py pack/unpack —
+    device RLE counts + every per-query scalar); `masks` stays device-side
+    for visualisation slices and the cap-overflow fallback (per-mask dense
+    slice fetch, instances_to_coco_counts dev_masks). uint8_input=True takes
     raw [B,3,Hb,Wb] uint8 RGB and normalises on device (4x less H2D than
     host-normalised f32).
 
@@ -250,11 +250,14 @@ def make_instance_step(
         from zutis_tpu.ops.rle_device import (
             pack_host_blob, rle_encode_masks_device,
         )
-        from zutis_tpu.postproc.instance import pack_masks_fortran
 
         rle = rle_encode_masks_device(masks, keep, native_hw=native_pixels)
+        # no bit-packing in the hot program: cap-overflow recovery fetches a
+        # dense mask slice from "masks" instead (rare; postproc/instance.py
+        # instances_to_coco_counts dev_masks fallback), saving a full
+        # [B,Q,H,W] read + packed write per step
         out = {
-            "masks": masks, "masks_packed": pack_masks_fortran(masks),
+            "masks": masks,
             "rle": rle,
             "host_blob": pack_host_blob(out_scores, category_ids, keep, rle),
             "scores": out_scores,

@@ -485,8 +485,7 @@ class Trainer:
                     image_ids=[s["image_id"] for s in items],
                     sizes=[self._target_hw(s, dataset_name) for s in items],
                     new_label_id_to_old_label_id=new_label_id_to_old_label_id,
-                    dev_packed=result["masks_packed"],
-                    col_stride_bits_packed=out_shape[0],
+                    dev_masks=result["masks"],
                 ))
             else:
                 conf = steps[skey](*step_args)

@@ -37,10 +37,19 @@ def mask_nms(
     their selection-time score; masks with category 0 or empty masks are
     never kept."""
     q = masks.shape[0]
-    flat = masks.reshape(q, -1).astype(jnp.float32)
-    areas = flat.sum(-1)
-    inter = jnp.einsum("qc,pc->qp", flat, flat,
-                       preferred_element_type=jnp.float32)
+    # pairwise intersections on the int8 MXU path (s8 x s8 -> s32): exact
+    # for {0,1} masks up to 2^31 pixels, ~4x the f32 dot rate on v5e and
+    # 1/4 the HBM read traffic of an f32 flatten. The dot contracts over
+    # the trailing (h, w) axes IN PLACE — an explicit reshape(q, -1) of the
+    # tiled bool layout materialised a full relayout copy (3.4 ms/iter at
+    # the 512x640 eval bucket, tools/trace_instance.py)
+    m8 = masks.astype(jnp.int8)
+    contract = tuple(range(1, m8.ndim))
+    inter = jax.lax.dot_general(
+        m8, m8, dimension_numbers=((contract, contract), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    areas = jnp.diagonal(inter)  # mask . mask == area
     union = areas[:, None] + areas[None, :] - inter
     iou = jnp.where(union > 0, inter / jnp.maximum(union, 1e-12), 0.0)
     same_cat = category_ids[:, None] == category_ids[None, :]

@@ -176,13 +176,16 @@ def instances_to_coco_counts(
     new_label_id_to_old_label_id: Optional[Dict[int, int]] = None,
     dev_packed=None,  # DEVICE [b, Q, nbytes] packed bits for cap fallback
     col_stride_bits_packed: Optional[int] = None,
+    dev_masks=None,  # DEVICE [b, Q, H, W] bool masks, alternative fallback
 ) -> List[dict]:
     """COCO prediction dicts from DEVICE-computed RLE counts
     (ops/rle_device.py): only kilobytes of counts/boxes per image cross the
     host boundary. Masks that overflowed the static device caps (rare:
-    >k_cap kept, or more runs than max_runs) are recovered exactly from
-    `dev_packed` via per-mask slice fetches. Same output contract and
-    ordering as instances_to_coco."""
+    >k_cap kept, or more runs than max_runs) are recovered exactly via
+    per-mask slice fetches from `dev_packed` (packed bits) or `dev_masks`
+    (dense bool — lets the hot device program skip bit-packing entirely;
+    the fetch costs one D2H per overflowing mask, a rare event counted in
+    `overflow`). Same output contract and ordering as instances_to_coco."""
     scores = np.asarray(res["scores"])
     cats = np.asarray(res["category_ids"])
     keep = np.asarray(res["keep"])
@@ -233,10 +236,7 @@ def instances_to_coco_counts(
         if kind == "counts":
             seg = {"size": [hw[0], hw[1]], "counts": next(s_iter)}
             box = [float(v) for v in bbox[bi, si]]
-        else:
-            assert dev_packed is not None, (
-                "device RLE cap overflow needs the packed-bits fallback"
-            )
+        elif dev_packed is not None:
             row = np.asarray(dev_packed[bi, qi])  # one mask's bits only
             enc = native_encode_packed(
                 row[None], np.asarray([0]), col_stride_bits_packed,
@@ -253,6 +253,17 @@ def instances_to_coco_counts(
                     continue
                 seg = rle_ops.encode(m)
                 box = rle_ops.to_bbox(m)
+        else:
+            assert dev_masks is not None, (
+                "device RLE cap overflow needs dev_packed or dev_masks"
+            )
+            # one dense mask slice crosses the boundary (rare path)
+            m = np.asarray(dev_masks[bi, qi])[: hw[0], : hw[1]].astype(
+                np.uint8)
+            if m.sum() == 0:
+                continue
+            seg = rle_ops.encode(m)
+            box = rle_ops.to_bbox(m)
         cid = int(cats[bi, qi])
         label_id = (new_label_id_to_old_label_id[cid]
                     if new_label_id_to_old_label_id is not None else cid)

@@ -132,6 +132,10 @@ def main(argv=None):
     ap.add_argument("--out", type=str, default="CLOSED_LOOP_r04.json")
     ap.add_argument("--keep", action="store_true",
                     help="keep the working directory")
+    ap.add_argument("--iter-log", type=int, default=0,
+                    help="override the training log interval (diagnosis)")
+    ap.add_argument("--lr", type=float, default=0.0,
+                    help="override the base learning rate (diagnosis)")
     args = ap.parse_args(argv)
 
     import yaml
@@ -168,11 +172,16 @@ def main(argv=None):
             "clip_arch": "ViT-B/16",
             "n_iters": args.n_iters,
             "iter_eval": 10 * args.n_iters,  # no in-training eval
-            "iter_log": max(50, args.n_iters // 4),
-            "compute_dtype": "bfloat16",
+            "iter_log": args.iter_log or max(50, args.n_iters // 4),
+            # f32 compute: the proof is about end-to-end learning, and the
+            # tiny model costs nothing; at bf16 this exact config NaN'd at
+            # ~step 186 (tracked separately — real configs train bf16 with
+            # f32 softmax/LN statistics and have not reproduced this)
+            "compute_dtype": "float32",
             "skip_pretrained": True,
             "text_embeddings_npz": emb_fp,
             "visualise": False,
+            **({"base_lr": args.lr} if args.lr else {}),
             "model_kwargs": {
                 "width": 192, "encoder_layers": 4, "encoder_heads": 6,
                 "patch_size": 8, "text_dim": 64, "n_queries": 20,

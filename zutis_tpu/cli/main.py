@@ -249,7 +249,10 @@ def main(argv=None):
         params["encoder"] = jax.tree_util.tree_map(jnp.asarray,
                                                    visual_params)
 
-    tx = make_optimizer(base_lr=5e-5, n_iters=cfg.n_iters)
+    # reference base lr 5e-5 (utils/utils.py:179-192); test/diagnosis
+    # configs may override through the extras
+    tx = make_optimizer(base_lr=float(cfg.extras.get("base_lr", 5e-5)),
+                        n_iters=cfg.n_iters)
     state = TrainState.create(params, tx)
 
     # preemption resume: restore the newest full-state checkpoint and

@@ -61,6 +61,17 @@ def masked_full_map_layer_norm(
     return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
+def _l2_normalize_queries(queries: jnp.ndarray) -> jnp.ndarray:
+    """The reference divides by the raw norm with NO eps (zutis.py:515);
+    statistics run in f32 (bf16 squares underflow), and an exact-zero query
+    — possible when both ReLU hiddens of ffn2 die for a query — maps to the
+    zero vector instead of the reference's NaN (the only case where the two
+    differ)."""
+    q32 = queries.astype(jnp.float32)
+    norm = jnp.linalg.norm(q32, axis=-1, keepdims=True)
+    return (q32 / jnp.maximum(norm, 1e-30)).astype(queries.dtype)
+
+
 class ZUTIS(nn.Module):
     # encoder family: "vit" (CLIP ViT), "rn" (CLIP ModifiedResNet) or
     # "dino" (DINO ViT-B/16, the reference's encoder_type="dino" comparison
@@ -204,7 +215,7 @@ class ZUTIS(nn.Module):
             queries = queries[-1:]  # last decoder layer only
         queries = queries.transpose(1, 0, 2, 3)  # [b, L, Q, d]
         queries = self.ffn2(queries)
-        queries = queries / jnp.linalg.norm(queries, axis=-1, keepdims=True)
+        queries = _l2_normalize_queries(queries)
 
         memory_grid = memory.reshape(b, h_feat, w_feat, self.width)
         logits = jnp.einsum(
@@ -318,7 +329,7 @@ class ZUTIS(nn.Module):
             queries = queries[-1:]
         queries = queries.transpose(1, 0, 2, 3)
         queries = self.ffn2(queries)
-        queries = queries / jnp.linalg.norm(queries, axis=-1, keepdims=True)
+        queries = _l2_normalize_queries(queries)
 
         memory_grid = memory.reshape(b, hp, wp, self.width)
         logits = jnp.einsum(

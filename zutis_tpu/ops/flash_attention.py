@@ -26,6 +26,7 @@ that the O(sq*sk) backward logits fit comfortably at training shapes).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -130,7 +131,11 @@ def _flash_forward(
     # budget — coarse cells amortise per-cell overhead (the dominant cost at
     # short sequences), while long sequences fall back to fewer heads.
     kv_bytes_per_head = 2 * sk_pad * d * q.dtype.itemsize
-    budget = 8 * 1024 * 1024
+    # resident K/V budget per grid cell; the 16 MB scoped-vmem limit must
+    # also hold q/out blocks and Mosaic's double buffering, so stay well
+    # under half of it (overridable for tuning)
+    budget = int(os.environ.get("ZUTIS_TPU_FLASH_VMEM_BUDGET",
+                                6 * 1024 * 1024))
     head_block = h
     while head_block > 1 and (
         head_block * kv_bytes_per_head > budget or h % head_block != 0

@@ -173,11 +173,14 @@ def main(argv=None):
             "n_iters": args.n_iters,
             "iter_eval": 10 * args.n_iters,  # no in-training eval
             "iter_log": args.iter_log or max(50, args.n_iters // 4),
-            # f32 compute: the proof is about end-to-end learning, and the
-            # tiny model costs nothing; at bf16 this exact config NaN'd at
-            # ~step 186 (tracked separately — real configs train bf16 with
-            # f32 softmax/LN statistics and have not reproduced this)
+            # f32 compute at TRUE f32 matmul precision: the proof is about
+            # end-to-end learning and the tiny model costs nothing. At the
+            # TPU default (bf16-mantissa dots even for f32 arrays) this
+            # exact config NaN'd at ~step 190 in BOTH compute dtypes while
+            # the bit-identical CPU run trained clean — the instability is
+            # precision-induced, hence the explicit knob.
             "compute_dtype": "float32",
+            "matmul_precision": "highest",
             "skip_pretrained": True,
             "text_embeddings_npz": emb_fp,
             "visualise": False,

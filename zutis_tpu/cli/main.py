@@ -110,6 +110,12 @@ def main(argv=None):
     os.makedirs(dir_ckpt, exist_ok=True)
     cfg.to_json(f"{dir_ckpt}/config.json")
 
+    # TPU runs f32 dots at bf16 mantissa by default; "highest" forces true
+    # f32 matmuls — a numerical-headroom knob for configs that diverge
+    # under the default (tools/closed_loop.py)
+    if cfg.extras.get("matmul_precision"):
+        jax.config.update("jax_default_matmul_precision",
+                          cfg.extras["matmul_precision"])
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     model_kwargs = cfg.extras.get("model_kwargs")
     if model_kwargs:

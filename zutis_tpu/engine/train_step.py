@@ -25,7 +25,6 @@ import optax
 
 from zutis_tpu.engine.metrics import confusion_update
 from zutis_tpu.losses.criterion import criterion_loss
-from zutis_tpu.ops.resize import resize_2d
 
 
 @flax.struct.dataclass
@@ -86,16 +85,13 @@ def make_train_step(
             params=params, opt_state=opt_state, step=state.step + 1
         )
 
-        # in-training semantic metrics (reference trainer.py:156-188)
-        H, W = batch["semantic_mask"].shape[-2:]
-        logits = jnp.einsum(
-            "nc,bhwc->bnhw", text_embeddings, out["patch_tokens"],
-            preferred_element_type=jnp.float32,
-        )
-        logits = resize_2d(logits, (H, W), mode="linear")
-        pred = jnp.argmax(logits, axis=1)
+        # in-training semantic metrics (reference trainer.py:156-188): the
+        # criterion already built the full-resolution logits — reuse its
+        # argmax instead of a second [b, n_cat, H, W] resize (identical:
+        # the bilinear resize is linear per channel, so dot-then-resize ==
+        # resize-then-dot)
         confusion = confusion_update(
-            batch["semantic_mask"], pred, n_categories
+            batch["semantic_mask"], losses["sem_pred"], n_categories
         )
         metrics = {
             "loss": loss,

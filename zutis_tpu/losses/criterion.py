@@ -85,15 +85,33 @@ def cross_entropy_ignore(
     labels: jnp.ndarray,  # [b, H, W] int
     ignore_index: int,
     channels_last: bool = False,
+    bounded: bool = False,
 ) -> jnp.ndarray:
     """channels_last=True puts the class axis on TPU lanes: the softmax
     statistics become lane reductions and the label pick a lane gather —
     the class-major form made XLA materialise a transposed [b, H, W, n]
-    copy anyway (r3 train trace, 8.6 ms bitcast_reduce_fusion)."""
+    copy anyway (r3 train trace, 8.6 ms bitcast_reduce_fusion).
+
+    bounded=True asserts |logits| is small (the criterion's logits are
+    unit-norm tokens . unit-norm text, so |x| <= 1): CE becomes the
+    max-free log(sum exp(x)) - x_label, mathematically identical to
+    log_softmax + pick but with NO [.., n_cat] logp materialisation —
+    the r4 train trace charged ~40 ms/step to the log_softmax passes
+    over the [8, 384, 384, 919] float32 tensor."""
     axis = -1 if channels_last else 1
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=axis)
+    x = logits.astype(jnp.float32)
     valid = labels != ignore_index
     safe = jnp.where(valid, labels, 0)
+    if bounded:
+        sumexp = jnp.sum(jnp.exp(x), axis=axis)
+        if channels_last:
+            picked = jnp.take_along_axis(x, safe[..., None], axis=-1)[..., 0]
+        else:
+            picked = jnp.take_along_axis(x, safe[:, None], axis=1)[:, 0]
+        losses = jnp.where(valid, jnp.log(sumexp) - picked, 0.0)
+        count = jnp.maximum(valid.sum(), 1)
+        return losses.sum() / count
+    logp = jax.nn.log_softmax(x, axis=axis)
     if channels_last:
         picked = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
     else:
@@ -170,11 +188,51 @@ def criterion_loss(
         "nc,bchw->bhwn", text_embeddings, tokens,
         preferred_element_type=jnp.float32,
     )
+    # bounded=True: tokens are per-pixel L2-normalised by the model and the
+    # bilinear resize is a convex combination, text rows are unit-norm, so
+    # |logits| <= 1 — the max-free CE is exact (see cross_entropy_ignore)
     ce = cross_entropy_ignore(logits, gt_semantic_masks, ignore_index,
-                              channels_last=True)
+                              channels_last=True, bounded=True)
+    # in-training semantic prediction for the metrics, reusing THIS logits
+    # tensor: argmax(resize(einsum)) == argmax(einsum(resize)) because the
+    # resize is linear per channel — the train step used to rebuild a
+    # second full-resolution [b, n_cat, H, W] copy just for this argmax
+    sem_pred = jax.lax.stop_gradient(
+        jnp.argmax(logits, axis=-1).astype(jnp.int32))
 
     # ===== mask loss =====
     gt4 = gt_instance_masks.astype(jnp.float32)  # [b, N, H, W]
+
+    # Dice never needs the full-resolution upsample: <gt, resize(P)> ==
+    # <resize^T(gt), P> because the bilinear resize is linear, so gt
+    # projects DOWN to the feature grid ONCE (it is layer-invariant) and
+    # every layer's dice numerator/denominator reduces over [b, ., h, w]
+    # instead of re-reading the 472 MB [b, Q, H, W] tensor (r4 train
+    # trace). BCE keeps the full-res path — log(up) is not linear in P.
+    hf, wf = mask_proposals.shape[-2:]
+
+    def _resize_hw(z):
+        return resize_2d(z, (H, W), mode="linear")
+
+    gt_t = jax.linear_transpose(
+        _resize_hw,
+        jax.ShapeDtypeStruct((b, n_max, hf, wf), jnp.float32),
+    )(gt4)[0]  # [b, N, hf, wf] = W_h^T gt W_w
+    ones_t = jax.linear_transpose(
+        _resize_hw, jax.ShapeDtypeStruct((1, 1, hf, wf), jnp.float32),
+    )(jnp.ones((1, 1, H, W), jnp.float32))[0][0, 0]  # [hf, wf] column sums
+    gt_area = gt4.sum((-2, -1))  # [b, N]
+
+    def dice_cost_projected(p_l: jnp.ndarray) -> jnp.ndarray:
+        """dice_cost_2d(resize(p_l), gt4) computed at feature resolution
+        (exact up to fp reassociation; the straight-through clip the BCE
+        path applies moves `up` by <= 1e-7, below the oracle tolerance)."""
+        numerator = 2.0 * jnp.einsum(
+            "bnij,bqij->bnq", gt_t, p_l, preferred_element_type=jnp.float32)
+        sum_up = jnp.einsum(
+            "bqij,ij->bq", p_l, ones_t, preferred_element_type=jnp.float32)
+        denominator = sum_up[:, None, :] + gt_area[:, :, None]
+        return 1.0 - (numerator + 1.0) / (denominator + 1.0)
 
     def per_layer(proposals_l: jnp.ndarray) -> jnp.ndarray:
         """proposals_l: [b, Q, h, w] -> matched cost per image [b]."""
@@ -186,7 +244,7 @@ def criterion_loss(
         # [b, Q, H, W] clip predicates for the VJP (~19 ms/step, r3 trace)
         up = up + jax.lax.stop_gradient(jnp.clip(up, 0.0, 1.0) - up)
         cost = (
-            weight_dice_loss * dice_cost_2d(up, gt4)
+            weight_dice_loss * dice_cost_projected(proposals_l)
             + weight_bce_loss * bce_cost_2d(up, gt4)
         )  # [b, N, Q]
         # padded rows -> constant 0 so they never affect real-row matching
@@ -230,6 +288,8 @@ def criterion_loss(
         "loss": loss,
         "ce_loss": ce,
         "mask_loss": mask_loss,
+        # [b, H, W] in-training semantic argmax (metrics; no grad)
+        "sem_pred": sem_pred,
         # [L, b, N] matched query index per instance (for visualisation)
         "query_indices": col4rows,
     }

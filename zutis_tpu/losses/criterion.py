@@ -105,9 +105,14 @@ def cross_entropy_ignore(
     if bounded:
         # exp input clamped at 30: exact whenever |logits| <= 30 (production
         # logits are <= 1), and a caller violating the bound gets a finite
-        # wrong loss (caught by the trainer's finite-loss guard) instead of
-        # a silent inf. The clamp fuses into the exp — zero extra passes.
-        sumexp = jnp.sum(jnp.exp(jnp.minimum(x, 30.0)), axis=axis)
+        # wrong loss instead of a silent inf. STRAIGHT-THROUGH clamp: a
+        # plain jnp.minimum costs 22 ms/step at the reference config
+        # (139.5 -> 161.8 measured) because its VJP stores an x<30
+        # predicate over the [8, 384, 384, 919] logits; the identity
+        # gradient is exact for the in-bound case and exp's own VJP
+        # (exp of the clamped value) stays bounded out of bound.
+        xc = x + jax.lax.stop_gradient(jnp.minimum(x, 30.0) - x)
+        sumexp = jnp.sum(jnp.exp(xc), axis=axis)
         if channels_last:
             picked = jnp.take_along_axis(x, safe[..., None], axis=-1)[..., 0]
         else:
@@ -185,6 +190,9 @@ def criterion_loss(
     )
 
     # ===== cross-entropy loss =====
+    # NOT under jax.checkpoint: rematerialising the resize+einsum in the
+    # backward pass measured 136.3 vs 128.1 ms/step at the reference config
+    # — the recompute costs more than the logits residual traffic it saves.
     tokens = patch_tokens.transpose(0, 3, 1, 2)  # [b, c, h, w]
     tokens = resize_2d(tokens, (H, W), mode="linear")
     # class axis LAST (TPU lanes): same math, no transposed duplicate
@@ -238,8 +246,8 @@ def criterion_loss(
         denominator = sum_up[:, None, :] + gt_area[:, :, None]
         return 1.0 - (numerator + 1.0) / (denominator + 1.0)
 
-    def per_layer(proposals_l: jnp.ndarray) -> jnp.ndarray:
-        """proposals_l: [b, Q, h, w] -> matched cost per image [b]."""
+    def cost_layer(proposals_l: jnp.ndarray) -> jnp.ndarray:
+        """proposals_l: [b, Q, h, w] -> dice+BCE cost [b, N, Q]."""
         up = resize_2d(proposals_l, (H, W), mode="linear")
         # fp guard for the log()s below: bilinear output is in [0,1] up to
         # fp error. STRAIGHT-THROUGH clip — the reference doesn't clamp at
@@ -247,26 +255,10 @@ def criterion_loss(
         # gradient matches reference backward semantics AND avoids storing
         # [b, Q, H, W] clip predicates for the VJP (~19 ms/step, r3 trace)
         up = up + jax.lax.stop_gradient(jnp.clip(up, 0.0, 1.0) - up)
-        cost = (
+        return (
             weight_dice_loss * dice_cost_projected(proposals_l)
             + weight_bce_loss * bce_cost_2d(up, gt4)
-        )  # [b, N, Q]
-        # padded rows -> constant 0 so they never affect real-row matching
-        cost_for_match = jnp.where(instance_valid[..., None], cost, 0.0)
-        # NaN/inf guard: the JV matcher's while_loops never terminate on NaN
-        # costs — a diverged training step must surface as a NaN loss (the
-        # trainer raises on it), not hang the device forever. The matched
-        # cost below still uses the unguarded values, so NaNs propagate to
-        # the loss as they should.
-        cost_for_match = jnp.nan_to_num(
-            cost_for_match, nan=1e6, posinf=1e6, neginf=-1e6
         )
-        col4row = batched_hungarian(
-            jax.lax.stop_gradient(cost_for_match)
-        )  # [b, N]
-        matched = jnp.take_along_axis(cost, col4row[..., None], axis=-1)[..., 0]
-        matched = jnp.where(instance_valid, matched, 0.0)
-        return matched.sum(-1), col4row
 
     # unrolled loop over decoder layers, each under jax.checkpoint.
     # jax.checkpoint is ESSENTIAL here: without it the backward pass saves
@@ -275,13 +267,34 @@ def criterion_loss(
     # batch-8/384px/6-layer training config, which OOMs a 16 GB chip);
     # rematerialising them costs one extra resize matmul per layer. The
     # UNROLL (vs the r2 lax.scan) keeps the same peak memory — residuals per
-    # layer are only [b, N, Q] costs and [b] sums — but lets XLA schedule
-    # and fuse across layer boundaries instead of through a while-loop
-    # barrier (r3 train trace: the scan body serialised 89 ms/step).
-    outs = [jax.checkpoint(per_layer)(mask_proposals[:, layer])
-            for layer in range(L)]
-    per_image_layers = jnp.stack([o[0] for o in outs])
-    col4rows = jnp.stack([o[1] for o in outs])
+    # layer are only [b, N, Q] costs — but lets XLA schedule and fuse across
+    # layer boundaries instead of through a while-loop barrier (r3 train
+    # trace: the scan body serialised 89 ms/step).
+    costs = jnp.stack([jax.checkpoint(cost_layer)(mask_proposals[:, layer])
+                       for layer in range(L)])  # [L, b, N, Q]
+
+    # ONE batched matching over all L*b problems instead of L sequential
+    # batched_hungarian calls: TPU executes the JV while-loops serially, so
+    # L separate solves cost ~L x the trip time while the batched solve runs
+    # the same trips over a [L*b, N, Q] problem set (r4 train trace: ~12 ms
+    # of while-loop + small-fusion time at L=6). Matching results identical.
+    # padded rows -> constant 0 so they never affect real-row matching
+    cost_for_match = jnp.where(instance_valid[None, :, :, None], costs, 0.0)
+    # NaN/inf guard: the JV matcher's while_loops never terminate on NaN
+    # costs — a diverged training step must surface as a NaN loss (the
+    # trainer raises on it), not hang the device forever. The matched
+    # cost below still uses the unguarded values, so NaNs propagate to
+    # the loss as they should.
+    cost_for_match = jnp.nan_to_num(
+        cost_for_match, nan=1e6, posinf=1e6, neginf=-1e6
+    )
+    col4rows = batched_hungarian(
+        jax.lax.stop_gradient(cost_for_match).reshape(L * b, n_max, Q)
+    ).reshape(L, b, n_max)  # [L, b, N]
+    matched = jnp.take_along_axis(
+        costs, col4rows[..., None], axis=-1)[..., 0]  # [L, b, N]
+    matched = jnp.where(instance_valid[None], matched, 0.0)
+    per_image_layers = matched.sum(-1)  # [L, b]
     # image with no valid instance contributes 0 (reference skips it)
     any_valid = instance_valid.any(axis=1)
     per_image = jnp.where(any_valid, per_image_layers.sum(0), 0.0)

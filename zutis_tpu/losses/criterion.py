@@ -113,10 +113,19 @@ def cross_entropy_ignore(
         # (exp of the clamped value) stays bounded out of bound.
         xc = x + jax.lax.stop_gradient(jnp.minimum(x, 30.0) - x)
         sumexp = jnp.sum(jnp.exp(xc), axis=axis)
+        # label pick as a one-hot masked reduce, NOT take_along_axis: the
+        # per-pixel lane gather (and its scatter VJP) over the
+        # [8, 384, 384, 919] logits cost ~18 ms/step in the r4 trace; the
+        # masked reduce is bitwise identical (one nonzero term, adding
+        # exact zeros), runs as a second lane reduction in the same pass
+        # as sumexp, and its VJP is an elementwise mask.
+        iota = jax.lax.broadcasted_iota(
+            jnp.int32, x.shape, dimension=axis % x.ndim)
         if channels_last:
-            picked = jnp.take_along_axis(x, safe[..., None], axis=-1)[..., 0]
+            onehot = iota == safe[..., None]
         else:
-            picked = jnp.take_along_axis(x, safe[:, None], axis=1)[:, 0]
+            onehot = iota == safe[:, None]
+        picked = jnp.sum(jnp.where(onehot, x, 0.0), axis=axis)
         losses = jnp.where(valid, jnp.log(sumexp) - picked, 0.0)
         count = jnp.maximum(valid.sum(), 1)
         return losses.sum() / count

@@ -142,3 +142,41 @@ def test_uint8_input_step_matches_f32(setup):
     for i, (H, W) in enumerate(SIZES):
         a, b = sem_f[i, :H, :W], sem_u[i, :H, :W]
         assert (a != b).mean() < 5e-3, f"image {i}: {(a != b).mean():.4f}"
+
+
+def test_pipelined_matches_synchronous():
+    """pipelined(dispatch, collect, work) yields collect(dispatch(x), x) in
+    work order for every depth, including short work lists and depth 1."""
+    for depth in (1, 2, 3, 5):
+        for n in (0, 1, 2, 4, 7):
+            trace = []
+
+            def dispatch(x):
+                trace.append(("d", x))
+                return x * 10
+
+            def collect(h, x):
+                trace.append(("c", x))
+                assert h == x * 10
+                return h + x
+
+            out = list(BE.pipelined(dispatch, collect, range(n), depth=depth))
+            assert out == [x * 10 + x for x in range(n)]
+            # every item is dispatched exactly once, collected exactly once,
+            # dispatch precedes its own collect, and at most `depth`
+            # dispatches are in flight at any point
+            in_flight = 0
+            for kind, _ in trace:
+                in_flight += 1 if kind == "d" else -1
+                assert 0 <= in_flight <= max(1, depth)
+
+
+def test_pipelined_overlap_order():
+    """At depth 2, item N+1 is dispatched BEFORE item N is collected — the
+    property that lets the host fetch overlap device execution."""
+    trace = []
+    list(BE.pipelined(lambda x: trace.append(("d", x)),
+                      lambda h, x: trace.append(("c", x)),
+                      range(3), depth=2))
+    assert trace == [("d", 0), ("d", 1), ("c", 0), ("d", 2), ("c", 1),
+                     ("c", 2)]

@@ -23,6 +23,11 @@ def main() -> None:
     ap.add_argument("--path", choices=["counts", "packed", "dense"],
                     default="counts")
     ap.add_argument("--iters", type=int, default=12)
+    ap.add_argument("--depth", type=int, default=1,
+                    help="in-flight dispatch depth: >1 overlaps the blob "
+                         "fetch + host assembly of batch N with device "
+                         "execution of batch N+1 (engine.batched_eval."
+                         "pipelined)")
     args = ap.parse_args()
 
     import jax
@@ -65,8 +70,10 @@ def main() -> None:
     pix_d = jnp.asarray(native_pixels)
     label_map = {i: i for i in range(n_cat)}
 
-    def run_once():
-        dev = step(params, padded_d, grid_d, pix_d)
+    def dispatch_once(_=None):
+        return step(params, padded_d, grid_d, pix_d)
+
+    def collect(dev, _=None):
         if args.path == "counts":
             from zutis_tpu.ops.rle_device import unpack_host_blob
 
@@ -109,7 +116,12 @@ def main() -> None:
             new_label_id_to_old_label_id=label_map,
         )
 
+    def run_once():
+        return collect(dispatch_once())
+
     import sys
+
+    from zutis_tpu.engine.batched_eval import pipelined
 
     print("compiling instance step...", file=sys.stderr, flush=True)
     t_c = time.perf_counter()
@@ -130,8 +142,13 @@ def main() -> None:
     best = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(args.iters):
-            run_once()
+        if args.depth > 1:
+            for _ in pipelined(dispatch_once, collect, range(args.iters),
+                               depth=args.depth):
+                pass
+        else:
+            for _ in range(args.iters):
+                run_once()
         dt = time.perf_counter() - t0
         best = max(best, B * args.iters / dt)
     print(json.dumps({
@@ -140,9 +157,18 @@ def main() -> None:
         "batch": B,
         "bucket": list(shape),
         "path": args.path,
+        "depth": args.depth,
         "n_preds_per_batch": n_kept,
         "n_cap_fallbacks": n_overflow,
     }), flush=True)
+    import os
+    import sys as _sys
+
+    _sys.stdout.flush()
+    # jax runtime teardown can hang under the tunnelled TPU backend (same
+    # hazard bench.py documents); all output is flushed, so skip teardown —
+    # a timeout-kill mid-teardown wedges the tunnel for the NEXT process.
+    os._exit(0)
 
 
 if __name__ == "__main__":

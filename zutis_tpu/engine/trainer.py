@@ -332,7 +332,8 @@ class Trainer:
         want_instances = dataset_name == "coco2017"
         pending: Dict = {}
 
-        def flush(key, items):
+        def dispatch(batch):
+            key, items = batch
             H, W = key[2], key[3]
             images = jnp.asarray(np.stack([s["image"] for s in items]))
             out = forward(params, images)
@@ -341,14 +342,23 @@ class Trainer:
                 preferred_element_type=jnp.float32,
             )
             logits = resize_2d(logits, (H, W), mode="linear")
-            sem_pred = np.asarray(jnp.argmax(logits, axis=1))
+            sem_pred_dev = jnp.argmax(logits, axis=1)
+            dev = None
             if want_instances:
-                from zutis_tpu.ops.rle_device import unpack_host_blob
-
                 dev = predict_instances_device(
                     out["mask_proposals"], out["patch_tokens"],
                     self.text_embeddings, size=(H, W), rle=True,
                 )
+            return sem_pred_dev, dev
+
+        def collect(handles, batch):
+            key, items = batch
+            H, W = key[2], key[3]
+            sem_pred_dev, dev = handles
+            sem_pred = np.asarray(sem_pred_dev)
+            if want_instances:
+                from zutis_tpu.ops.rle_device import unpack_host_blob
+
                 res = unpack_host_blob(np.asarray(dev["host_blob"]))
                 instance_predictions.extend(instances_to_coco_counts(
                     res,
@@ -363,16 +373,24 @@ class Trainer:
                     metric_meter.update(
                         s["semantic_mask"][None], sem_pred[j][None])
 
-        for i in range(n):
-            sample = dataset[i]
-            h, w = sample["image"].shape[-2:]
-            tH, tW = self._target_hw(sample, dataset_name)
-            key = (h, w, tH, tW)
-            pending.setdefault(key, []).append(sample)
-            if len(pending[key]) == batch_images:
-                flush(key, pending.pop(key))
-        for key, items in pending.items():
-            flush(key, items)
+        def batches():
+            for i in range(n):
+                sample = dataset[i]
+                h, w = sample["image"].shape[-2:]
+                tH, tW = self._target_hw(sample, dataset_name)
+                key = (h, w, tH, tW)
+                pending.setdefault(key, []).append(sample)
+                if len(pending[key]) == batch_images:
+                    yield key, pending.pop(key)
+            for key, items in pending.items():
+                yield key, items
+
+        from zutis_tpu.engine import batched_eval as BE
+
+        # depth-2 pipeline: the sem_pred/blob fetches + host metric work of
+        # batch N overlap batch N+1's device execution (outputs identical)
+        for _ in BE.pipelined(dispatch, collect, batches(), depth=2):
+            pass
         return n
 
     def _evaluate_per_image(
@@ -437,7 +455,8 @@ class Trainer:
         pending: Dict = {}
         conf_acc = [None]  # device-side [C, C] accumulator, fetched once
 
-        def flush(key, items):
+        def dispatch(batch):
+            key, items = batch
             (in_shape, out_shape) = key
             images = [s["image"] for s in items]
             padded, native_grid, native_pixels = BE.pad_batch(
@@ -471,13 +490,16 @@ class Trainer:
             step_args = (params, jnp.asarray(padded),
                          jnp.asarray(native_grid), jnp.asarray(out_pixels),
                          jnp.asarray(gt_pad))
+            return steps[skey](*step_args)
+
+        def collect(result, batch):
+            _, items = batch
             if want_instances:
-                # masks (dense AND packed bits) stay on device; ONE blob
-                # fetch carries the device RLE counts + per-query scalars
-                # (a few KB per image, single D2H round-trip)
+                # masks (dense) stay on device; ONE blob fetch carries the
+                # device RLE counts + per-query scalars (a few KB per
+                # image, single D2H round-trip)
                 from zutis_tpu.ops.rle_device import unpack_host_blob
 
-                result = steps[skey](*step_args)
                 conf = result["confusion"]
                 res = unpack_host_blob(np.asarray(result["host_blob"]))
                 instance_predictions.extend(instances_to_coco_counts(
@@ -488,21 +510,29 @@ class Trainer:
                     dev_masks=result["masks"],
                 ))
             else:
-                conf = steps[skey](*step_args)
+                conf = result
             conf_acc[0] = (conf if conf_acc[0] is None
                            else conf_acc[0] + conf)
 
-        for i in range(n):
-            sample = dataset[i]
-            h, w = sample["image"].shape[-2:]
-            in_shape = BE.bucket_shape(h, w)
-            out_shape = BE.bucket_shape(*self._target_hw(sample, dataset_name))
-            key = (in_shape, out_shape)
-            pending.setdefault(key, []).append(sample)
-            if len(pending[key]) == batch_images:
-                flush(key, pending.pop(key))
-        for key, items in pending.items():
-            flush(key, items)
+        def batches():
+            for i in range(n):
+                sample = dataset[i]
+                h, w = sample["image"].shape[-2:]
+                in_shape = BE.bucket_shape(h, w)
+                out_shape = BE.bucket_shape(
+                    *self._target_hw(sample, dataset_name))
+                key = (in_shape, out_shape)
+                pending.setdefault(key, []).append(sample)
+                if len(pending[key]) == batch_images:
+                    yield key, pending.pop(key)
+            for key, items in pending.items():
+                yield key, items
+
+        # depth-2 pipeline: batch N's blob fetch + host RLE/metric work and
+        # batch N+1's dataset load/pad/H2D overlap batch N+1's device
+        # execution (outputs identical — the loop order is unchanged)
+        for _ in BE.pipelined(dispatch, collect, batches(), depth=2):
+            pass
         if conf_acc[0] is not None:
             metric_meter.confusion_matrix += np.asarray(conf_acc[0])
         return n

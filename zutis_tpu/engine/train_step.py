@@ -74,8 +74,15 @@ def make_train_step(
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(
-        state: TrainState, batch: Dict[str, jnp.ndarray]
+        state: TrainState, batch: Dict[str, jnp.ndarray],
+        confusion_acc: jnp.ndarray = None,
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        # confusion_acc: optional [n_cat, n_cat] f32 running histogram —
+        # when given, metrics["confusion"] is the UPDATED accumulator
+        # (acc + this step's histogram), fused into the step program so the
+        # training loop never pays a separate per-step device dispatch for
+        # metric accumulation (measured ~11 ms/iter on the critical path
+        # as an op-by-op add under the tunnelled runtime, PERF.md).
         (loss, (losses, out)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, batch)
@@ -93,6 +100,8 @@ def make_train_step(
         confusion = confusion_update(
             batch["semantic_mask"], losses["sem_pred"], n_categories
         )
+        if confusion_acc is not None:
+            confusion = confusion_acc + confusion
         metrics = {
             "loss": loss,
             "ce_loss": losses["ce_loss"],

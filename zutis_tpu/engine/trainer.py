@@ -170,10 +170,18 @@ class Trainer:
         resumes bit-exactly after preemption (tests/test_checkpoint_resume.py;
         the reference can only restart from bare weights, trainer.py:246).
         `batches` must already be positioned at `state.step` when resuming."""
-        step_fn = make_train_step(
-            self.model, tx, self.text_embeddings, n_categories,
-            ignore_index=ignore_index, weight_ce_loss=weight_ce_loss,
-        )
+        # the jitted step is cached for the Trainer's lifetime (same policy
+        # as the eval programs): a second fit() call — resume, eval-then-
+        # continue, benchmark windows — must not pay a full re-trace of the
+        # train program (~20 s at the reference config)
+        step_key = (id(tx), n_categories, ignore_index, weight_ce_loss)
+        if getattr(self, "_train_step_key", None) != step_key:
+            self._train_step_fn = make_train_step(
+                self.model, tx, self.text_embeddings, n_categories,
+                ignore_index=ignore_index, weight_ce_loss=weight_ce_loss,
+            )
+            self._train_step_key = step_key
+        step_fn = self._train_step_fn
         loss_meter = AverageMeter()
         metric_meter = RunningScore(n_categories)
         it = iter(batches)
@@ -181,25 +189,60 @@ class Trainer:
         start_iter = int(state.step)
         self._resumed = start_iter > 0
         tracing = False
+
+        # Lag-2 metrics pipeline: jax dispatch is asynchronous, so blocking
+        # on float(metrics["loss"]) every step serialises a ~30 ms D2H
+        # round-trip (plus the [C,C] confusion fetch) against every device
+        # step under the tunnelled runtime. Instead the loss handle is
+        # queued and fetched up to `fetch_lag` steps later (the finiteness
+        # guard still names the step that produced the NaN), and the
+        # confusion histogram accumulates ON DEVICE — threaded through the
+        # jitted step itself (train_step confusion_acc), fetched only at
+        # log/eval/checkpoint boundaries where scores are actually read.
+        # Measured: the lagged fetch is FREE (8.70 it/s, == dispatch-only)
+        # vs per-step fetching; an op-by-op accumulator add cost 7.95.
+        from collections import deque
+
+        from zutis_tpu.core.profiling import NonFiniteError
+
+        fetch_lag = 2
+        pending: deque = deque()  # (num_iter, loss handle)
+        conf_dev = [None]  # device-side [C, C] accumulator
+
+        def _drain_one():
+            ni, loss_h = pending.popleft()
+            loss = float(loss_h)
+            if not np.isfinite(loss):
+                raise NonFiniteError(
+                    f"non-finite training loss {loss} at step {ni}")
+            loss_meter.update(loss, 1)
+
+        def _drain_all():
+            while pending:
+                _drain_one()
+            if conf_dev[0] is not None:
+                metric_meter.confusion_matrix += np.asarray(conf_dev[0])
+                conf_dev[0] = None
+
         for num_iter in range(start_iter + 1, n_iters + 1):
             if profile_dir and num_iter == profile_steps[0]:
                 jax.profiler.start_trace(profile_dir)
                 tracing = True
             batch = next(it)
-            state, metrics = step_fn(state, batch)
-            loss = float(metrics["loss"])
-            if not np.isfinite(loss):
-                from zutis_tpu.core.profiling import NonFiniteError
-
-                raise NonFiniteError(
-                    f"non-finite training loss {loss} at step {num_iter}")
+            if conf_dev[0] is None:
+                conf_dev[0] = jnp.zeros(
+                    (n_categories, n_categories), jnp.float32)
+            state, metrics = step_fn(state, batch, conf_dev[0])
+            conf_dev[0] = metrics["confusion"]
+            pending.append((num_iter, metrics["loss"]))
+            while len(pending) > fetch_lag:
+                _drain_one()
             if tracing and num_iter >= profile_steps[1]:
                 jax.profiler.stop_trace()
                 tracing = False
-            loss_meter.update(loss, 1)
-            metric_meter.confusion_matrix += np.asarray(metrics["confusion"])
 
             if self.debug or (iter_log and num_iter % iter_log == 0):
+                _drain_all()
                 scores, cls_iu = metric_meter.get_scores()
                 record = {
                     "num_iter": num_iter,
@@ -230,6 +273,7 @@ class Trainer:
                 and val_dataset is not None
                 and getattr(val_dataset, "name", "") != "imagenet-s919"
             ):
+                _drain_all()  # surface a NaN before the expensive eval
                 scores = self.evaluate(state, val_dataset, num_iter=num_iter,
                                        iter_eval=iter_eval)
                 self.save_checkpoint(state, "latest_model")
@@ -241,6 +285,7 @@ class Trainer:
             ):
                 from zutis_tpu.core.checkpoint import save_train_state
 
+                _drain_all()  # never checkpoint a state a NaN has poisoned
                 save_train_state(
                     os.path.join(checkpoint_dir, f"step_{num_iter}"), state
                 )
@@ -248,6 +293,7 @@ class Trainer:
                 eval_every_cb(num_iter, state)
             if self.debug:
                 break
+        _drain_all()
         if tracing:
             jax.profiler.stop_trace()
         self.save_checkpoint(state, "final_model")

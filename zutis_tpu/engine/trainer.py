@@ -445,7 +445,7 @@ class Trainer:
     ) -> int:
         forward = self._eval_forward_fn()
 
-        for i in range(n):
+        def dispatch(i):
             sample = dataset[i]
             image = jnp.asarray(sample["image"])[None]
             if "imagenet-s" in dataset_name:
@@ -458,31 +458,42 @@ class Trainer:
                 preferred_element_type=jnp.float32,
             )
             logits = resize_2d(logits, (int(H), int(W)), mode="linear")
-            sem_pred = np.asarray(jnp.argmax(logits, axis=1))
-
+            sem_pred_dev = jnp.argmax(logits, axis=1)
+            dev = None
             if dataset_name == "coco2017":
-                from zutis_tpu.ops.rle_device import unpack_host_blob
-
                 dev = predict_instances_device(
                     out["mask_proposals"], out["patch_tokens"],
                     self.text_embeddings, size=(int(H), int(W)), rle=True,
                 )
+            return sample, (int(H), int(W)), sem_pred_dev, dev
+
+        def collect(handles, i):
+            sample, (H, W), sem_pred_dev, dev = handles
+            sem_pred = np.asarray(sem_pred_dev)
+            if dev is not None:
+                from zutis_tpu.ops.rle_device import unpack_host_blob
+
                 res = unpack_host_blob(np.asarray(dev["host_blob"]))
                 preds = instances_to_coco_counts(
                     res,
                     image_ids=[sample["image_id"]],
-                    sizes=[(int(H), int(W))],
+                    sizes=[(H, W)],
                     new_label_id_to_old_label_id=new_label_id_to_old_label_id,
                     dev_packed=dev["masks_packed"],
-                    col_stride_bits_packed=col_stride_bits(int(H)),
+                    col_stride_bits_packed=col_stride_bits(H),
                 )
                 instance_predictions.extend(preds)
-
             if "semantic_mask" in sample:
                 metric_meter.update(sample["semantic_mask"][None], sem_pred)
-            if self.debug:
-                return i + 1
-        return n
+
+        from zutis_tpu.engine import batched_eval as BE
+
+        # depth-2 pipeline: image i's fetches + host metric work overlap
+        # image i+1's dataset load + device execution (same loop order)
+        n_run = 1 if self.debug else n
+        for _ in BE.pipelined(dispatch, collect, range(n_run), depth=2):
+            pass
+        return n_run
 
     def _evaluate_batched(
         self, params, dataset, n, dataset_name, metric_meter,

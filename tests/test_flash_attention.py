@@ -80,3 +80,50 @@ def test_auto_impl_resolves_to_xla_off_tpu(monkeypatch):
     out = dot_product_attention(q, k, v, impl="auto")
     want = dot_product_attention(q, k, v, impl="xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-6)
+
+
+def test_bf16_softmax_inf_bias_masks_exactly():
+    """The bf16 max-free softmax must give EXACTLY zero weight to keys
+    masked with a -inf additive bias — including when every legitimate
+    logit in the row is saturated very negative (a two-sided clip would
+    collapse both onto the same value and leak weight to masked keys)."""
+    import numpy as np
+
+    from zutis_tpu.ops.attention import _softmax_weights
+
+    b, h, sq, sk = 1, 1, 2, 6
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(b, h, sq, sk).astype(np.float32))
+    # row 1: legitimate logits pushed below the OLD two-sided clip (-80)
+    # but above exp()'s f32 underflow (~-87.3): the old clip collapsed
+    # these onto the same -80 as the masked keys -> uniform leak over all
+    # six keys; the one-sided clamp must keep them distinguishable
+    logits = logits.at[0, 0, 1].set(-85.0 + 0.1 * logits[0, 0, 1])
+    bias = np.zeros((b, h, sq, sk), np.float32)
+    bias[..., 3:] = -np.inf  # mask the last three keys in every row
+    w = _softmax_weights(
+        logits, scale=1.0, bias=jnp.asarray(bias), kv_mask=None,
+        compute_dtype=jnp.bfloat16,
+    )
+    w = np.asarray(w)
+    assert (w[..., 3:] == 0).all(), "masked keys received nonzero weight"
+    np.testing.assert_allclose(w[..., :3].sum(-1), 1.0, rtol=1e-5)
+    # the saturated row still distributes weight over UNMASKED keys only
+    assert (w[0, 0, 1, :3] > 0).all()
+
+
+def test_bf16_softmax_matches_f32_with_bias():
+    """bf16 fast path == f32 reference softmax for finite + -inf biases."""
+    import numpy as np
+
+    from zutis_tpu.ops.attention import _softmax_weights
+
+    rng = np.random.RandomState(1)
+    logits = jnp.asarray(rng.randn(2, 2, 4, 8).astype(np.float32) * 5)
+    bias = rng.randn(2, 2, 4, 8).astype(np.float32)
+    bias[..., -2:] = -np.inf
+    w_fast = np.asarray(_softmax_weights(
+        logits, 0.5, jnp.asarray(bias), None, jnp.bfloat16))
+    w_ref = np.asarray(_softmax_weights(
+        logits, 0.5, jnp.asarray(bias), None, jnp.float32))
+    np.testing.assert_allclose(w_fast, w_ref, atol=1e-6)

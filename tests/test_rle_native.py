@@ -355,3 +355,80 @@ def test_native_string_parse_matches_python():
         s = rle_ops.encode(m)["counts"]
         got = native_string_to_counts(s)
         np.testing.assert_array_equal(got, _decompress_counts(s))
+
+
+def test_host_blob_escape_path_big_runs():
+    """Escape-table coverage at sizes where it actually fires: at real
+    eval buckets most masks have a leading empty span > 2^16 pixels, so
+    the paired-uint16 counts transport must reconstruct runs >= 2^16 via
+    esc_pos/esc_hi (ops/rle_device.py N_ESC escapes per slot)."""
+    import jax.numpy as jnp
+
+    from zutis_tpu.ops.rle_device import (
+        pack_host_blob, rle_encode_masks_device, unpack_host_blob,
+    )
+
+    H, W = 300, 260  # H*W = 78,000 > 2^16
+    masks = np.zeros((1, 2, H, W), bool)
+    # query 0: one blob far into Fortran order -> leading run ~70k > 65535
+    masks[0, 0, 150:160, 230:240] = True
+    # query 1: blob at the start AND one at the end -> a big MIDDLE run
+    masks[0, 1, 0:4, 0:4] = True
+    masks[0, 1, 290:296, 250:256] = True
+    keep = np.ones((1, 2), bool)
+    scores = np.asarray([[0.9, 0.8]], np.float32)
+    cats = np.asarray([[1, 2]], np.int32)
+    rle = rle_encode_masks_device(
+        jnp.asarray(masks), jnp.asarray(keep), k_cap=2, col_cap=16,
+        max_runs=128)
+    counts_dev = np.asarray(rle["counts"])
+    assert (counts_dev > 65535).any(), "test did not exercise big runs"
+    assert not np.asarray(rle["overflow"]).any()
+    blob = pack_host_blob(jnp.asarray(scores), jnp.asarray(cats),
+                          jnp.asarray(keep), rle)
+    out = unpack_host_blob(np.asarray(blob))
+    np.testing.assert_array_equal(out["counts"], counts_dev)
+    # decoded counts reproduce the dense masks exactly
+    from zutis_tpu.ops import rle as rle_ops
+
+    for k in range(2):
+        n = int(np.asarray(rle["n_runs"])[0, k])
+        counts = [int(c) for c in out["counts"][0, k, :n]]
+        # device counts end at the last set pixel; the host assembler
+        # (instances_to_coco_counts) appends the trailing empty span
+        tail = H * W - sum(counts)
+        if tail:
+            counts.append(tail)
+        dec = rle_ops.decode({"size": [H, W], "counts": counts})
+        np.testing.assert_array_equal(dec.astype(bool), masks[0, k])
+
+
+def test_host_blob_escape_overflow_flags_dense_fallback():
+    """More than N_ESC (8) runs >= 2^16 in one mask cannot ride the paired
+    transport: the slot must come back with overflow=True so callers take
+    the dense-mask fallback instead of silently corrupting the RLE."""
+    import jax.numpy as jnp
+
+    from zutis_tpu.ops.rle_device import (
+        pack_host_blob, rle_encode_masks_device, unpack_host_blob,
+    )
+
+    H, W = 840, 800  # 672,000 pixels
+    masks = np.zeros((1, 1, H, W), bool)
+    # 10 isolated single-pixel islands spaced > 2^16 apart in Fortran
+    # order -> >= 9 zero-gap runs above 65535
+    flat = np.zeros(H * W, bool)
+    for i in range(10):
+        flat[i * 66000] = True
+    masks[0, 0] = flat.reshape(W, H).T  # Fortran order view
+    keep = np.ones((1, 1), bool)
+    rle = rle_encode_masks_device(
+        jnp.asarray(masks), jnp.asarray(keep), k_cap=1, col_cap=16,
+        max_runs=64)
+    blob = pack_host_blob(
+        jnp.asarray(np.ones((1, 1), np.float32)),
+        jnp.asarray(np.zeros((1, 1), np.int32)),
+        jnp.asarray(keep), rle)
+    out = unpack_host_blob(np.asarray(blob))
+    assert bool(out["overflow"][0, 0]), \
+        "esc_overflow did not flag the >N_ESC-big-runs mask"

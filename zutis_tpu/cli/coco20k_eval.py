@@ -35,13 +35,16 @@ def main(argv=None):
     parser.add_argument("--suffix", type=str, default="")
     parser.add_argument("--max_images", type=int, default=None)
     parser.add_argument("--batch_images", type=int, default=16)
-    parser.add_argument("--pipeline_depth", type=int, default=3,
+    parser.add_argument("--pipeline_depth", type=int, default=2,
                         help="in-flight batches in the batched path: depth>1 "
                              "overlaps batch N's blob fetch + host RLE/JSON "
                              "assembly with batch N+1's device execution "
                              "(engine.batched_eval.pipelined); 1 = "
                              "synchronous. Measured 129.6/190.6/195.9 img/s "
-                             "at depth 1/2/3 (PERF.md)")
+                             "at depth 1/2/3 (PERF.md). Each in-flight batch "
+                             "holds its step outputs on device (~1 GB dense "
+                             "masks at batch 32, 512x640) — raise to 3 only "
+                             "with HBM headroom")
     parser.add_argument("--visualise_first", type=int, default=0,
                         help="save instance-overlay PNGs for the first N "
                              "images (the reference's detectron2 "
@@ -65,7 +68,7 @@ def main(argv=None):
     from zutis_tpu.engine.coco_eval import COCOEvaluator
     from zutis_tpu.models.factory import build_zutis
     from zutis_tpu.postproc.instance import (
-        col_stride_bits, instances_to_coco_counts, predict_instances_device,
+        instances_to_coco_counts, predict_instances_device,
     )
 
     enable_compilation_cache()
@@ -215,8 +218,7 @@ def main(argv=None):
                 image_ids=[image_id],
                 sizes=[(int(H), int(W))],
                 new_label_id_to_old_label_id=new_label_id_to_old_label_id,
-                dev_packed=dev["masks_packed"],
-                col_stride_bits_packed=col_stride_bits(int(H)),
+                dev_masks=dev["masks"],
             ))
     eval_seconds = time.time() - t0
 

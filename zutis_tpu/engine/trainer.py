@@ -33,7 +33,6 @@ from zutis_tpu.engine.train_step import TrainState, make_train_step
 from zutis_tpu.models.weights import export_zutis
 from zutis_tpu.ops.resize import resize_2d
 from zutis_tpu.postproc.instance import (
-    col_stride_bits,
     instances_to_coco_counts,
     predict_instances_device,
 )
@@ -411,8 +410,7 @@ class Trainer:
                     image_ids=[s["image_id"] for s in items],
                     sizes=[(H, W)] * len(items),
                     new_label_id_to_old_label_id=new_label_id_to_old_label_id,
-                    dev_packed=dev["masks_packed"],
-                    col_stride_bits_packed=col_stride_bits(H),
+                    dev_masks=dev["masks"],
                 ))
             for j, s in enumerate(items):
                 if "semantic_mask" in s:
@@ -479,8 +477,7 @@ class Trainer:
                     image_ids=[sample["image_id"]],
                     sizes=[(H, W)],
                     new_label_id_to_old_label_id=new_label_id_to_old_label_id,
-                    dev_packed=dev["masks_packed"],
-                    col_stride_bits_packed=col_stride_bits(H),
+                    dev_masks=dev["masks"],
                 )
                 instance_predictions.extend(preds)
             if "semantic_mask" in sample:

@@ -62,16 +62,19 @@ def _softmax_weights(logits, scale, bias, kv_mask, compute_dtype):
             logits = jnp.where(kv_mask[:, None, None, :] > 0, logits, -1e30)
         return jax.nn.softmax(logits, axis=-1)
     # bf16 fast path: max-free softmax. The row-max subtraction exists
-    # only for overflow safety; clamping to +-80 (exp(80)~5.5e34, row
-    # sums < 3e37 << f32 max) gives the same safety with one fewer
+    # only for OVERFLOW safety; clamping from above at 80 (exp(80)~5.5e34,
+    # row sums < 3e37 << f32 max) gives the same safety with one fewer
     # full pass over the [b,h,sq,sk] tensor — the softmax passes are
-    # this path's single largest cost. Values beyond +-80 only occur
-    # where softmax already saturates. The clip happens AFTER the bias
-    # add (same fused cost) so overflow safety holds for any bias, not
-    # just the non-positive causal/padding masks current callers pass.
+    # this path's single largest cost. Values beyond 80 only occur where
+    # softmax already saturates. The clamp happens AFTER the bias add
+    # (same fused cost) so safety holds for any bias, and it is one-sided:
+    # very negative logits need no clamp (exp underflows to exactly 0,
+    # which is the point of a -inf masking bias — a two-sided clip would
+    # collapse -inf masks onto the same value as saturated-low legit
+    # logits and leak weight to masked keys).
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
-    logits = jnp.clip(logits, -80.0, 80.0)
+    logits = jnp.minimum(logits, 80.0)
     if kv_mask is not None:
         # -200: exp underflows to exactly 0, so masked keys get zero
         # weight without re-introducing overflow risk
@@ -79,8 +82,12 @@ def _softmax_weights(logits, scale, bias, kv_mask, compute_dtype):
     e = jnp.exp(logits)
     # the denominator guard covers the all-keys-masked row (every
     # exp(-200) underflows to exactly 0): those rows produce 0-weights
-    # rather than NaN.
-    return e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+    # rather than NaN. The guard is the smallest NORMAL f32 (not a round
+    # 1e-30) so rows whose legitimate logits sit near the underflow edge
+    # (sums down to ~1e-37) are renormalised exactly instead of squashed;
+    # TPU flushes f32 denormals, so anything below `tiny` is 0 anyway.
+    tiny = jnp.finfo(jnp.float32).tiny
+    return e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), tiny)
 
 
 def dot_product_attention(

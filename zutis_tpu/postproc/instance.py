@@ -76,8 +76,9 @@ def predict_instances_device(
     keep [b, Q] bool; pack=True adds masks_packed [b, Q, nbytes] uint8
     (Fortran-order bits, 8x less host traffic than bool masks); rle=True
     adds the device-computed RLE counts/bbox/area of the kept masks
-    (ops/rle_device.py — kilobytes per image, the eval fast path) plus
-    masks_packed for the cap-overflow fallback."""
+    (ops/rle_device.py — kilobytes per image, the eval fast path); the
+    cap-overflow fallback reads the dense `masks` entry (pass it as
+    instances_to_coco_counts(dev_masks=...))."""
     if mask_proposals.ndim == 5:
         mask_proposals = mask_proposals[:, -1]
     b, q = mask_proposals.shape[:2]
@@ -118,7 +119,13 @@ def predict_instances_device(
         "category_ids": category_ids,
         "keep": keep,
     }
-    if pack or rle:
+    if pack:
+        # packed bits only on explicit request: packing costs a full
+        # [b,Q,H,W] read + packed write per dispatch, and the rle path's
+        # only residual consumer (the cap-overflow fallback in
+        # instances_to_coco_counts) is served by the dense `masks` slice
+        # already in the output dict (dev_masks=...), same as the batched
+        # eval step
         out["masks_packed"] = pack_masks_fortran(binary_out)
         # static metadata the host decoders need; a scalar array so it rides
         # the jit output pytree (instances_to_coco_packed reads it — ADVICE

@@ -47,3 +47,22 @@ def test_batched_and_jitted():
             want = cost[i, j][rows, cols].sum()
             have = cost[i, j][np.arange(6), got[i, j]].sum()
             np.testing.assert_allclose(have, want, rtol=1e-5)
+
+
+def test_nan_cost_terminates():
+    """A NaN-poisoned cost matrix must return (garbage) instead of spinning
+    the while_loop forever — NaN comparisons are all False, so without the
+    explicit iteration bounds no column ever improves and no sink is found
+    (the loss NaN guards downstream surface the divergence)."""
+    import jax.numpy as jnp
+
+    from zutis_tpu.ops.hungarian import batched_hungarian, hungarian
+
+    cost = np.random.RandomState(0).rand(4, 6).astype(np.float32)
+    cost[1, :] = np.nan
+    out = np.asarray(hungarian(jnp.asarray(cost)))
+    assert out.shape == (4,)
+
+    cost_all = np.full((2, 3, 5), np.nan, np.float32)
+    out = np.asarray(batched_hungarian(jnp.asarray(cost_all)))
+    assert out.shape == (2, 3)

@@ -243,24 +243,11 @@ def make_instance_step(
         valid = out["valid"].astype(proposals.dtype)  # [B, h, w]
         tokens = out["patch_tokens"]  # [B, h, w, c]
 
+        from zutis_tpu.postproc.instance import classify_proposals
+
         binary = (proposals > threshold) & (valid[:, None] > 0)
-        sizes = binary.sum(axis=(-2, -1)).astype(jnp.float32)
-        confidence = (
-            jnp.sum(proposals * binary, axis=(-2, -1)) / (sizes + 1e-7)
-        )
-        avg_tokens = jnp.einsum(
-            "bhwc,bqhw->bqc", tokens, binary.astype(tokens.dtype),
-            preferred_element_type=jnp.float32,
-        ) / (sizes[..., None] + 1e-7)
-        avg_tokens = avg_tokens / (
-            jnp.linalg.norm(avg_tokens, axis=-1, keepdims=True) + 1e-7
-        )
-        cat_probs = jax.nn.sigmoid(
-            jnp.einsum("nc,bqc->bqn", text_embeddings, avg_tokens,
-                       preferred_element_type=jnp.float32) * temperature
-        )
-        category_ids = jnp.argmax(cat_probs, axis=-1)
-        confidence = confidence * jnp.max(cat_probs, axis=-1)
+        confidence, category_ids = classify_proposals(
+            proposals, binary, tokens, text_embeddings, temperature)
 
         feat_pad = proposals.shape[-2:]
         wh, ww = _native_resize_mats(

@@ -94,24 +94,12 @@ class InferenceServer:
                 preferred_element_type=jnp.float32,
             )
             semantic = jnp.argmax(logits, axis=1).astype(jnp.int32)
+            from zutis_tpu.postproc.instance import classify_proposals
+
             proposals = out["mask_proposals"][:, -1]
             binary = proposals > threshold
-            sizes = binary.sum(axis=(-2, -1)).astype(jnp.float32)
-            confidence = (
-                jnp.sum(proposals * binary, axis=(-2, -1)) / (sizes + 1e-7)
-            )
-            tokens = out["patch_tokens"]
-            avg = jnp.einsum(
-                "bhwc,bqhw->bqc", tokens, binary.astype(tokens.dtype),
-                preferred_element_type=jnp.float32,
-            ) / (sizes[..., None] + 1e-7)
-            avg = avg / (jnp.linalg.norm(avg, axis=-1, keepdims=True) + 1e-7)
-            cat_probs = jax.nn.sigmoid(
-                jnp.einsum("nc,bqc->bqn", text, avg,
-                           preferred_element_type=jnp.float32) * temperature
-            )
-            category_ids = jnp.argmax(cat_probs, axis=-1)
-            confidence = confidence * jnp.max(cat_probs, axis=-1)
+            confidence, category_ids = classify_proposals(
+                proposals, binary, out["patch_tokens"], text, temperature)
             keep, scores = jax.vmap(
                 lambda m, s, c: mask_nms(
                     m, s, c, nms_threshold=nms_threshold, nms_type=nms_type)

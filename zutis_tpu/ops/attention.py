@@ -60,7 +60,14 @@ def _softmax_weights(logits, scale, bias, kv_mask, compute_dtype):
             logits = logits + bias.astype(jnp.float32)
         if kv_mask is not None:
             logits = jnp.where(kv_mask[:, None, None, :] > 0, logits, -1e30)
-        return jax.nn.softmax(logits, axis=-1)
+        w = jax.nn.softmax(logits, axis=-1)
+        if kv_mask is not None:
+            # all-keys-masked items get ZERO weights (softmax's max-shift
+            # would otherwise hand them uniform 1/sk over invalid keys) —
+            # same convention as the bf16 fast path's underflow + guard
+            any_valid = jnp.any(kv_mask > 0, axis=-1)  # [b]
+            w = w * any_valid[:, None, None, None]
+        return w
     # bf16 fast path: max-free softmax. The row-max subtraction exists
     # only for OVERFLOW safety; clamping from above at 80 (exp(80)~5.5e34,
     # row sums < 3e37 << f32 max) gives the same safety with one fewer
@@ -71,7 +78,12 @@ def _softmax_weights(logits, scale, bias, kv_mask, compute_dtype):
     # very negative logits need no clamp (exp underflows to exactly 0,
     # which is the point of a -inf masking bias — a two-sided clip would
     # collapse -inf masks onto the same value as saturated-low legit
-    # logits and leak weight to masked keys).
+    # logits and leak weight to masked keys). ENVELOPE ASSUMPTION: if two
+    # or more scaled logits in a row exceed 80 the clamp erases their
+    # relative order (both map to 80 -> even split). ZUTIS/CLIP stay far
+    # inside this: q/k come out of LN-scaled projections (scaled logits
+    # observed O(10)) and all biases are non-positive masks. Callers with
+    # unbounded logits must use f32 compute, which takes the exact path.
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
     logits = jnp.minimum(logits, 80.0)
@@ -108,7 +120,7 @@ def dot_product_attention(
     # still accumulates fp32 and rounds once at the store) — the logits
     # tensor dominates HBM traffic on this path; softmax statistics are
     # computed in fp32 via the fused upcast in _softmax_weights.
-    store_dtype = jnp.float32 if q.dtype == jnp.float32 else q.dtype
+    store_dtype = q.dtype  # logits stored in the compute dtype
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=store_dtype
     ).astype(jnp.float32)
@@ -140,7 +152,7 @@ def dot_product_attention_bshd(
         )
         return out.transpose(0, 2, 1, 3)
     scale = q.shape[-1] ** -0.5
-    store_dtype = jnp.float32 if q.dtype == jnp.float32 else q.dtype
+    store_dtype = q.dtype  # logits stored in the compute dtype
     logits = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k, preferred_element_type=store_dtype
     ).astype(jnp.float32)

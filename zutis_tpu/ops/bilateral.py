@@ -51,16 +51,12 @@ class BilateralGrid:
         # pack each coordinate tuple into one integer key
         self._basis = 256 ** np.arange(self.dim)
         keys = coords @ self._basis
-        uniq_keys, inverse = np.unique(keys, return_inverse=True)
+        # return_index is each unique key's FIRST occurrence in original
+        # pixel order — vertex v's representative coordinates
+        uniq_keys, first, inverse = np.unique(
+            keys, return_index=True, return_inverse=True)
         self.nvertices = len(uniq_keys)
         self._uniq_keys = uniq_keys
-        order = np.argsort(keys, kind="stable")
-        first = np.zeros(self.nvertices, np.int64)
-        seen = np.zeros(self.nvertices, bool)
-        for pix, v in zip(order, inverse[order]):
-            if not seen[v]:
-                first[v] = pix
-                seen[v] = True
         self._uniq_coords = coords[first]
         self.S = csr_matrix(
             (np.ones(self.npixels), (inverse, np.arange(self.npixels))),

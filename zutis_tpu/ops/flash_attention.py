@@ -239,4 +239,13 @@ def flash_attention(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     block_q = min(block_q, _round_up(q.shape[2], 128))
-    return _flash(q, k, v, kv_mask, block_q, interpret)
+    out = _flash(q, k, v, kv_mask, block_q, interpret)
+    if kv_mask is not None:
+        # all-keys-masked items: inside the kernel every key block scores
+        # the same -1e30, the running max saturates there and p = exp(0)
+        # for EVERY key — the output would be the mean of V over invalid
+        # (zero-padded) keys. Zero those items instead, matching the XLA
+        # paths' masked-row convention.
+        any_valid = jnp.any(kv_mask > 0, axis=-1)  # [b]
+        out = out * any_valid[:, None, None, None].astype(out.dtype)
+    return out

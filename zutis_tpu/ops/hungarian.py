@@ -15,7 +15,13 @@ loss masks invalid rows out of the matched-cost sum.
 
 Each row is inserted with a Dijkstra-style search over reduced costs; the
 search adds one column per step and stops at the first unassigned column, so
-it runs at most n_rows+1 steps — every loop here has a small static bound.
+it runs at most n_rows+1 steps for finite costs. NaN costs break that
+invariant (NaN comparisons are all False, so no column ever improves and no
+sink is found) — both while_loops therefore also carry explicit iteration
+bounds (C and R+1) so a NaN-poisoned cost matrix returns a garbage-but-
+terminating assignment instead of spinning the device forever; the loss
+NaN guards downstream surface the divergence (criterion's matcher guard,
+Trainer's finite-loss check).
 """
 from __future__ import annotations
 
@@ -36,7 +42,7 @@ def hungarian(cost: jnp.ndarray) -> jnp.ndarray:
         u, v, col4row, row4col = carry
 
         def dijkstra(state):
-            shortest, path, sc, sr, i, minval, _ = state
+            shortest, path, sc, sr, i, minval, _, it = state
             sr = sr.at[i].set(True)
             reduced = minval + cost[i] - u[i] - v  # [C]
             better = (reduced < shortest) & ~sc
@@ -47,11 +53,13 @@ def hungarian(cost: jnp.ndarray) -> jnp.ndarray:
             minval = masked[j]
             sc = sc.at[j].set(True)
             nxt = row4col[j]
-            sink = jnp.where(nxt < 0, j, -1)
-            return shortest, path, sc, sr, nxt, minval, sink
+            # the C-iteration bail only fires on non-finite costs (see
+            # module docstring): force a sink so the loop terminates
+            sink = jnp.where((nxt < 0) | (it >= C), j, -1)
+            return shortest, path, sc, sr, nxt, minval, sink, it + 1
 
         def not_done(state):
-            return state[-1] < 0
+            return state[-2] < 0
 
         init = (
             jnp.full((C,), _INF),
@@ -61,8 +69,9 @@ def hungarian(cost: jnp.ndarray) -> jnp.ndarray:
             cur_row,
             jnp.float32(0.0),
             jnp.int32(-1),
+            jnp.int32(1),
         )
-        shortest, path, sc, sr, _, minval, sink = jax.lax.while_loop(
+        shortest, path, sc, sr, _, minval, sink, _ = jax.lax.while_loop(
             not_done, dijkstra, init
         )
 
@@ -73,20 +82,23 @@ def hungarian(cost: jnp.ndarray) -> jnp.ndarray:
         u = jnp.where(other, u + delta_r, u)
         v = jnp.where(sc, v - (minval - shortest), v)
 
-        # augment along the alternating path back to cur_row
+        # augment along the alternating path back to cur_row; alternating
+        # paths visit each row at most once, so R+1 steps bound the loop
+        # (the bound only binds when `path` is NaN-corrupted garbage)
         def augment(state):
-            col4row, row4col, j, done = state
+            col4row, row4col, j, done, it = state
             i = path[j]
             row4col = row4col.at[j].set(i)
             prev = col4row[i]
             col4row = col4row.at[i].set(j)
-            return col4row, row4col, prev, i == cur_row
+            return col4row, row4col, prev, (i == cur_row) | (it > R), it + 1
 
         def not_aug_done(state):
-            return ~state[-1]
+            return ~state[-2]
 
-        col4row, row4col, _, _ = jax.lax.while_loop(
-            not_aug_done, augment, (col4row, row4col, sink, False)
+        col4row, row4col, _, _, _ = jax.lax.while_loop(
+            not_aug_done, augment, (col4row, row4col, sink, False,
+                                    jnp.int32(1))
         )
         return (u, v, col4row, row4col), None
 

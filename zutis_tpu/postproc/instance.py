@@ -56,6 +56,40 @@ def col_stride_bits(h: int) -> int:
     return -(-h // 8) * 8
 
 
+def classify_proposals(
+    proposals: jnp.ndarray,  # [b, Q, h, w] in [0, 1]
+    binary: jnp.ndarray,  # [b, Q, h, w] bool (thresholded + validity-masked)
+    patch_tokens: jnp.ndarray,  # [b, h, w, text_dim]
+    text_embeddings: jnp.ndarray,  # [n_cat, text_dim]
+    temperature: float = 5.0,
+):
+    """Reference zutis.py:374-430 query classification, shared by every
+    instance decode (predict_instances_device, the batched eval step, the
+    server): mask confidence = mean in-mask proposal probability; each
+    query classified by its L2-normalised masked-average patch token
+    against the text embeddings through sigmoid(sim * temperature); final
+    confidence = mask confidence * max category probability.
+    -> (confidence [b, Q], category_ids [b, Q])."""
+    sizes = binary.sum(axis=(-2, -1)).astype(jnp.float32)
+    confidence = (
+        jnp.sum(proposals * binary, axis=(-2, -1)) / (sizes + 1e-7)
+    )
+    avg_tokens = jnp.einsum(
+        "bhwc,bqhw->bqc", patch_tokens, binary.astype(patch_tokens.dtype),
+        preferred_element_type=jnp.float32,
+    ) / (sizes[..., None] + 1e-7)
+    avg_tokens = avg_tokens / (
+        jnp.linalg.norm(avg_tokens, axis=-1, keepdims=True) + 1e-7
+    )
+    cat_probs = jax.nn.sigmoid(
+        jnp.einsum("nc,bqc->bqn", text_embeddings, avg_tokens,
+                   preferred_element_type=jnp.float32) * temperature
+    )
+    category_ids = jnp.argmax(cat_probs, axis=-1)
+    confidence = confidence * jnp.max(cat_probs, axis=-1)
+    return confidence, category_ids
+
+
 @partial(jax.jit, static_argnames=("size", "threshold", "temperature",
                                    "nms_type", "nms_threshold", "pack",
                                    "rle"))
@@ -84,24 +118,8 @@ def predict_instances_device(
     b, q = mask_proposals.shape[:2]
 
     binary = mask_proposals > threshold  # [b, Q, h, w]
-    sizes = binary.sum(axis=(-2, -1)).astype(jnp.float32)  # [b, Q]
-    confidence = (
-        jnp.sum(mask_proposals * binary, axis=(-2, -1)) / (sizes + 1e-7)
-    )
-
-    avg_tokens = jnp.einsum(
-        "bhwc,bqhw->bqc", patch_tokens, binary.astype(patch_tokens.dtype),
-        preferred_element_type=jnp.float32,
-    ) / (sizes[..., None] + 1e-7)
-    avg_tokens = avg_tokens / (
-        jnp.linalg.norm(avg_tokens, axis=-1, keepdims=True) + 1e-7
-    )
-    cat_probs = jax.nn.sigmoid(
-        jnp.einsum("nc,bqc->bqn", text_embeddings, avg_tokens,
-                   preferred_element_type=jnp.float32) * temperature
-    )
-    category_ids = jnp.argmax(cat_probs, axis=-1)  # [b, Q]
-    confidence = confidence * jnp.max(cat_probs, axis=-1)
+    confidence, category_ids = classify_proposals(
+        mask_proposals, binary, patch_tokens, text_embeddings, temperature)
 
     if size is not None:
         up = resize_2d(mask_proposals, size, mode="linear")

@@ -108,3 +108,39 @@ def test_crowd_gt_not_counted_and_absorbs_matches():
     stats = COCOEvaluator(gt).evaluate(
         [pred(1, g, 0.9), pred(1, d_crowd, 0.8)])
     assert stats["AP"] == 1.0
+
+
+def test_area_range_rematch():
+    """Matching is redone PER AREA RANGE with out-of-range GTs ignored and
+    sorted last (pycocotools evaluateImg): a detection that greedily matched
+    a small GT in the 'all' cell must fall back to the medium GT in the
+    'medium' cell instead of leaving it unmatched."""
+    h = w = 128
+    S = block_mask(h, w, 0, 30, 0, 30)      # 900 px  -> small (< 32^2)
+    M = block_mask(h, w, 0, 40, 0, 40)      # 1600 px -> medium
+    D = block_mask(h, w, 0, 31, 0, 30)      # 930 px; IoU vs S = 900/930,
+    #                                         IoU vs M = 930/1600 = 0.58125
+    gt = make_gt({1: [(S, 1), (M, 1)]}, h=h, w=w)
+    stats = COCOEvaluator(gt).evaluate([pred(1, D, 0.9)])
+    # small cell: M ignored, D matches S at every threshold -> AP_small 1
+    assert stats["AP_small"] == 1.0
+    # medium cell: S ignored (sorted last), D matches M at thr .50/.55;
+    # at higher thresholds D is unmatched but its 930 px area is out of
+    # medium range -> ignored, not an FP
+    np.testing.assert_allclose(stats["AP_medium"], 0.2, atol=1e-6)
+    np.testing.assert_allclose(stats["AR_medium"], 0.2, atol=1e-6)
+
+
+def test_ignore_flag_gt_sorted_last():
+    """Annotation-level ignore=1 GTs behave like crowd for sorting and the
+    recall denominator: a detection with higher IoU on the ignored GT must
+    still match the real GT, and npig must exclude the ignored one."""
+    G_ig = block_mask(32, 32, 0, 20, 0, 20)   # IoU vs D = 400/420 = 0.952
+    G_real = block_mask(32, 32, 0, 20, 0, 24)  # IoU vs D = 420/480 = 0.875
+    D = block_mask(32, 32, 0, 20, 0, 21)
+    gt = make_gt({1: [(G_ig, 1), (G_real, 1)]})
+    gt["annotations"][0]["ignore"] = 1
+    stats = COCOEvaluator(gt).evaluate([pred(1, D, 0.9)])
+    # matched to G_real at thr 0.50..0.85 -> 8/10 thresholds; npig = 1
+    np.testing.assert_allclose(stats["AP"], 0.8, atol=1e-6)
+    np.testing.assert_allclose(stats["AR_maxDets_100"], 0.8, atol=1e-6)

@@ -58,9 +58,16 @@ def latest_step_dir(base: str) -> Optional[str]:
 def load_params_any(path: str):
     """Load ZUTIS params from .npz (our export) or .pt (reference torch
     state_dict)."""
-    from zutis_tpu.models.weights import convert_zutis, load_torch_state_dict
+    from zutis_tpu.models.weights import (
+        _FLAX_RAW_PREFIX, _unflatten_tree, convert_zutis,
+        load_torch_state_dict,
+    )
 
     if path.endswith(".npz"):
         sd = {k: v for k, v in np.load(path).items()}
+        if any(k.startswith(_FLAX_RAW_PREFIX) for k in sd):
+            # RN/DINO-encoder export: the raw flax tree, no layout convert
+            return _unflatten_tree({
+                k[len(_FLAX_RAW_PREFIX):]: v for k, v in sd.items()})
         return convert_zutis(sd)
     return convert_zutis(load_torch_state_dict(path))

@@ -180,6 +180,16 @@ class InferenceServer:
         self._queue.put(None)  # wake the worker
         self._worker.join()
         self._worker = None
+        # drain anything still queued so no submitted Future is left
+        # unresolved forever (a waiter blocked in fut.result() would
+        # otherwise hang after stop() returned)
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                item[1].cancel()
 
     def submit(self, image: np.ndarray) -> "Future":
         assert self._worker is not None, "call start() first"

@@ -31,10 +31,10 @@ from zutis_tpu.engine.coco_eval import COCOEvaluator
 from zutis_tpu.engine.metrics import AverageMeter, RunningScore
 from zutis_tpu.engine.train_step import TrainState, make_train_step
 from zutis_tpu.models.weights import export_zutis
-from zutis_tpu.ops.resize import resize_2d
 from zutis_tpu.postproc.instance import (
     instances_to_coco_counts,
     predict_instances_device,
+    predict_semantic,
 )
 
 
@@ -249,7 +249,10 @@ class Trainer:
                     "loss": loss_meter.avg,
                     "ce_loss": float(metrics["ce_loss"]),
                     "mask_loss": float(metrics["mask_loss"]),
-                    "iters_per_sec": num_iter / (time.time() - t_start),
+                    # relative to THIS fit() call's start (a resumed run's
+                    # start_iter > 0 would otherwise inflate the rate)
+                    "iters_per_sec": (num_iter - start_iter)
+                    / (time.time() - t_start),
                     **scores,
                     **{str(k): v for k, v in cls_iu.items()},
                 }
@@ -359,7 +362,12 @@ class Trainer:
         if self._eval_forward is None:
             def forward(p, images):
                 self._eval_trace_count += 1  # runs only while tracing
-                return self.model.apply({"params": p}, images)
+                # inference=True: mask proposals for the LAST decoder layer
+                # only ([b, 1, Q, h, w]) — prediction slices [:, -1] anyway
+                # and the other 5 layers' ffn2 + sigmoid einsums are
+                # training-only work (models/zutis.py:180-183)
+                return self.model.apply({"params": p}, images,
+                                        inference=True)
 
             self._eval_forward = jax.jit(forward)
         return self._eval_forward
@@ -372,35 +380,45 @@ class Trainer:
         group as one stacked batch — no padding, so every number equals the
         per-image program's; distinct shapes compile exactly as many
         programs as the per-image regime would."""
+        from zutis_tpu.engine.metrics import confusion_update
+
         forward = self._eval_forward_fn()
 
         want_instances = dataset_name == "coco2017"
         pending: Dict = {}
+        n_classes = metric_meter.n_classes
+        conf_acc = [None]  # device-side [C, C] accumulator, fetched once
 
         def dispatch(batch):
             key, items = batch
             H, W = key[2], key[3]
             images = jnp.asarray(np.stack([s["image"] for s in items]))
             out = forward(params, images)
-            logits = jnp.einsum(
-                "nc,bhwc->bnhw", self.text_embeddings, out["patch_tokens"],
-                preferred_element_type=jnp.float32,
-            )
-            logits = resize_2d(logits, (H, W), mode="linear")
-            sem_pred_dev = jnp.argmax(logits, axis=1)
+            sem_pred_dev = predict_semantic(
+                out["patch_tokens"], self.text_embeddings, size=(H, W))
+            # confusion accumulates ON DEVICE per batch (one final fetch):
+            # the old per-item RunningScore.update cost an H2D+D2H [C,C]
+            # round-trip per image. Items without semantic GT contribute
+            # all -1 rows, which confusion_update's validity mask drops.
+            gt = np.stack([
+                np.asarray(s["semantic_mask"]) if "semantic_mask" in s
+                else np.full((H, W), -1, np.int32)
+                for s in items
+            ])
+            conf = confusion_update(
+                jnp.asarray(gt.astype(np.int32)), sem_pred_dev, n_classes)
+            conf_acc[0] = conf if conf_acc[0] is None else conf_acc[0] + conf
             dev = None
             if want_instances:
                 dev = predict_instances_device(
                     out["mask_proposals"], out["patch_tokens"],
                     self.text_embeddings, size=(H, W), rle=True,
                 )
-            return sem_pred_dev, dev
+            return dev
 
-        def collect(handles, batch):
+        def collect(dev, batch):
             key, items = batch
             H, W = key[2], key[3]
-            sem_pred_dev, dev = handles
-            sem_pred = np.asarray(sem_pred_dev)
             if want_instances:
                 from zutis_tpu.ops.rle_device import unpack_host_blob
 
@@ -412,10 +430,6 @@ class Trainer:
                     new_label_id_to_old_label_id=new_label_id_to_old_label_id,
                     dev_masks=dev["masks"],
                 ))
-            for j, s in enumerate(items):
-                if "semantic_mask" in s:
-                    metric_meter.update(
-                        s["semantic_mask"][None], sem_pred[j][None])
 
         def batches():
             for i in range(n):
@@ -431,17 +445,23 @@ class Trainer:
 
         from zutis_tpu.engine import batched_eval as BE
 
-        # depth-2 pipeline: the sem_pred/blob fetches + host metric work of
-        # batch N overlap batch N+1's device execution (outputs identical)
+        # depth-2 pipeline: the blob fetch + host RLE work of batch N
+        # overlap batch N+1's device execution (outputs identical)
         for _ in BE.pipelined(dispatch, collect, batches(), depth=2):
             pass
+        if conf_acc[0] is not None:
+            metric_meter.confusion_matrix += np.asarray(conf_acc[0])
         return n
 
     def _evaluate_per_image(
         self, params, dataset, n, dataset_name, metric_meter,
         instance_predictions,
     ) -> int:
+        from zutis_tpu.engine.metrics import confusion_update
+
         forward = self._eval_forward_fn()
+        n_classes = metric_meter.n_classes
+        conf_acc = [None]  # device-side [C, C] accumulator, fetched once
 
         def dispatch(i):
             sample = dataset[i]
@@ -451,23 +471,28 @@ class Trainer:
             else:
                 H, W = image.shape[-2:]
             out = forward(params, image)
-            logits = jnp.einsum(
-                "nc,bhwc->bnhw", self.text_embeddings, out["patch_tokens"],
-                preferred_element_type=jnp.float32,
-            )
-            logits = resize_2d(logits, (int(H), int(W)), mode="linear")
-            sem_pred_dev = jnp.argmax(logits, axis=1)
+            sem_pred_dev = predict_semantic(
+                out["patch_tokens"], self.text_embeddings,
+                size=(int(H), int(W)))
+            if "semantic_mask" in sample:
+                # device-side accumulation: the old per-image
+                # RunningScore.update cost an H2D+D2H [C,C] round-trip each
+                conf = confusion_update(
+                    jnp.asarray(np.asarray(
+                        sample["semantic_mask"], np.int32))[None],
+                    sem_pred_dev, n_classes)
+                conf_acc[0] = (conf if conf_acc[0] is None
+                               else conf_acc[0] + conf)
             dev = None
             if dataset_name == "coco2017":
                 dev = predict_instances_device(
                     out["mask_proposals"], out["patch_tokens"],
                     self.text_embeddings, size=(int(H), int(W)), rle=True,
                 )
-            return sample, (int(H), int(W)), sem_pred_dev, dev
+            return sample, (int(H), int(W)), dev
 
         def collect(handles, i):
-            sample, (H, W), sem_pred_dev, dev = handles
-            sem_pred = np.asarray(sem_pred_dev)
+            sample, (H, W), dev = handles
             if dev is not None:
                 from zutis_tpu.ops.rle_device import unpack_host_blob
 
@@ -480,8 +505,6 @@ class Trainer:
                     dev_masks=dev["masks"],
                 )
                 instance_predictions.extend(preds)
-            if "semantic_mask" in sample:
-                metric_meter.update(sample["semantic_mask"][None], sem_pred)
 
         from zutis_tpu.engine import batched_eval as BE
 
@@ -490,6 +513,8 @@ class Trainer:
         n_run = 1 if self.debug else n
         for _ in BE.pipelined(dispatch, collect, range(n_run), depth=2):
             pass
+        if conf_acc[0] is not None:
+            metric_meter.confusion_matrix += np.asarray(conf_acc[0])
         return n_run
 
     def _evaluate_batched(

@@ -137,25 +137,35 @@ def build_zutis(
 
 
 def build_text_encoder(clip_arch: str, dtype=jnp.float32) -> CLIPTextEncoder:
-    w, layers, heads, ed = _TEXT_SPECS[clip_arch]
+    # "dilatedRN50" etc. share the base arch's text tower (the dilated
+    # prefix only disables the visual token upsample, normalize_clip_arch)
+    base_arch, _ = normalize_clip_arch(clip_arch)
+    w, layers, heads, ed = _TEXT_SPECS[base_arch]
     return CLIPTextEncoder(
         width=w, layers=layers, heads=heads, embed_dim=ed, dtype=dtype,
     )
 
 
 def clip_checkpoint_path(clip_arch: str, assets_dir: str) -> str:
-    name = clip_arch.replace("/", "-").replace("@", "-") + ".pt"
+    base_arch, _ = normalize_clip_arch(clip_arch)
+    name = base_arch.replace("/", "-").replace("@", "-") + ".pt"
     return os.path.join(assets_dir, name)
 
 
 def load_clip_params(
     clip_arch: str, assets_dir: str
 ) -> Tuple[dict, dict]:
-    """-> (visual_params for CLIPViT, text_params for CLIPTextEncoder)."""
+    """-> (visual_params for CLIPViT or ModifiedResNet — dispatched on the
+    arch family — and text_params for CLIPTextEncoder)."""
     from zutis_tpu.models import weights as W
 
-    sd = W.load_torch_state_dict(clip_checkpoint_path(clip_arch, assets_dir))
-    return W.convert_clip_visual(sd), W.convert_clip_text(sd)
+    base_arch, _ = normalize_clip_arch(clip_arch)
+    sd = W.load_torch_state_dict(clip_checkpoint_path(base_arch, assets_dir))
+    if base_arch in _RN_SPECS:
+        visual = W.convert_clip_rn_visual(sd)
+    else:
+        visual = W.convert_clip_visual(sd)
+    return visual, W.convert_clip_text(sd)
 
 
 def find_merges_file(assets_dir: str) -> Optional[str]:

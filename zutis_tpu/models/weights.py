@@ -253,10 +253,45 @@ def save_torch_checkpoint(params: Mapping[str, Any], path: str) -> None:
     torch.save(sd, path)
 
 
+_FLAX_RAW_PREFIX = "__flax_raw__/"
+
+
+def _flatten_tree(tree: Mapping[str, Any], prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, Mapping):
+            out.update(_flatten_tree(v, f"{key}/"))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten_tree(flat: Mapping[str, np.ndarray]) -> dict:
+    tree: dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
 def export_zutis(params: Mapping[str, Any]) -> Dict[str, np.ndarray]:
     """Inverse of convert_zutis: flax ZUTIS params -> reference-layout
     state_dict (numpy), for .pt-compatible export (SURVEY.md section 5,
-    checkpoint/resume row)."""
+    checkpoint/resume row).
+
+    The reference .pt layout only exists for the ViT encoder (the reference
+    loads RN/DINO weights from their own upstream checkpoints,
+    networks/zutis.py:51-57); RN/DINO-encoder ZUTIS params are exported as
+    the raw flax tree under a `__flax_raw__/` key prefix so Trainer
+    checkpoints round-trip for every encoder family (import side:
+    core/checkpoint.load_params_any)."""
+    enc_tree = params["encoder"]
+    if "class_embedding" not in enc_tree:  # RN or DINO encoder
+        return _flatten_tree(params, _FLAX_RAW_PREFIX)
     sd: Dict[str, np.ndarray] = {}
 
     def put_dense(prefix, d):

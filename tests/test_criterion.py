@@ -128,3 +128,32 @@ def test_empty_image_contributes_zero():
         jnp.asarray(rng.randn(n_cat, td).astype(np.float32)),
     )
     assert float(out["mask_loss"]) == 0.0
+
+
+def test_all_empty_gt_image_contributes_zero_mask_loss():
+    """Reference criterion.py:114-116 skips an image whose GT masks sum to
+    zero PIXELS — even when validity flags are True (augmentation can wipe
+    every object's pixels while instance_valid stays set)."""
+    rng = np.random.RandomState(3)
+    b, L, Q, N, H = 2, 2, 6, 3, 16
+    props = jnp.asarray(rng.rand(b, L, Q, H, H).astype(np.float32))
+    masks = np.zeros((b, N, H, H), np.float32)
+    masks[0, 0, 2:8, 2:8] = 1.0  # image 0 has one real object
+    valid = np.ones((b, N), bool)  # image 1: valid flags set, zero pixels
+    tokens = jnp.asarray(rng.rand(b, 4, 4, 8).astype(np.float32))
+    text = rng.rand(3, 8).astype(np.float32)
+    text /= np.linalg.norm(text, axis=1, keepdims=True)
+    sem = jnp.zeros((b, H, H), jnp.int32)
+
+    out_both = criterion_loss(
+        props, jnp.asarray(masks), jnp.asarray(valid), tokens,
+        sem, jnp.asarray(text))
+    # image 1 all-empty: mask loss must equal a batch where image 1 is
+    # flagged fully invalid
+    valid_ref = valid.copy()
+    valid_ref[1] = False
+    out_ref = criterion_loss(
+        props, jnp.asarray(masks), jnp.asarray(valid_ref), tokens,
+        sem, jnp.asarray(text))
+    np.testing.assert_allclose(float(out_both["mask_loss"]),
+                               float(out_ref["mask_loss"]), rtol=1e-6)

@@ -87,3 +87,18 @@ def test_prompt_templates_table():
     for t in PROMPT_TEMPLATES:
         assert t.count("{}") == 1, t
         assert t.format("dog")  # formats cleanly
+
+
+def test_underscore_is_a_symbol_token():
+    """CLIP's [^\\s\\p{L}\\p{N}]+ treats '_' as a symbol run; a \\w-based
+    translation silently dropped it ("great_white_shark" tokenized as if
+    the text were 'greatwhiteshark' in letter runs)."""
+    tok = _toy_tokenizer()
+    with_us = tok.encode("great_white_shark")
+    without = tok.encode("greatwhiteshark")
+    assert with_us != without
+    # the underscore byte itself is tokenized (as a symbol run), not lost
+    from zutis_tpu.data.tokenizer import bytes_to_unicode
+    us_unit = bytes_to_unicode()[ord("_")]
+    inv = {i: t for t, i in tok.encoder.items()}
+    assert any(us_unit in inv.get(t, "") for t in with_us)

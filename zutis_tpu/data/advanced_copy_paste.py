@@ -120,9 +120,17 @@ class AdvancedCopyPaste:
                 idx += 1
         return patch_info
 
-    def generate_grid(self, rng: np.random.Generator):
+    def generate_grid(self, rng: np.random.Generator,
+                      max_instances: Optional[int] = None):
         """-> (n_images_needed, patch_info, patch_indices). The first image
-        is always the background object (reference :101-117)."""
+        is always the background object (reference :101-117).
+        `max_instances` caps pasted objects + background at the caller's
+        instance-mask slot count: without it a large grid could paste more
+        objects than the fixed-shape GT tensors can carry, silently
+        dropping GT rows for painted pixels (their pixels would stay in
+        the image/semantic mask with no mask-loss row). Capping here keeps
+        image content and GT slots consistent; the RNG draw order is
+        unchanged."""
         if self.max_n_partitions == 1:
             return 1, {}, []
         n_x = int(rng.integers(1, self.max_n_partitions))
@@ -132,6 +140,9 @@ class AdvancedCopyPaste:
         n_random = int(rng.integers(0, len(patch_info)))
         patch_indices = list(
             rng.choice(len(patch_info), size=n_random, replace=False))
+        if max_instances is not None:
+            n_random = min(n_random, max_instances - 1)
+            patch_indices = patch_indices[:n_random]
         return n_random + 1, patch_info, [int(i) for i in patch_indices]
 
     def _fit_to_patch(self, image, mask, h_patch, w_patch):
@@ -166,8 +177,17 @@ class AdvancedCopyPaste:
         from zutis_tpu.data.augment import mask_to_bbox
 
         S = self.grid_size
+        # reference :128-138: background resized by the SHORTER edge (no
+        # aspect distortion), then image and mask share one random SxS crop
+        # (the shorter edge equals S after the resize, so no padding arises
+        # and the crop offset is the only randomness)
         bg_img, bg_mask = resize_image_mask(
-            images[0], binary_masks[0], S, "both")
+            images[0], binary_masks[0], S, "shorter")
+        h_bg, w_bg = bg_img.shape[-2:]
+        oy = int(rng.integers(0, h_bg - S + 1))
+        ox = int(rng.integers(0, w_bg - S + 1))
+        bg_img = bg_img[:, oy:oy + S, ox:ox + S]
+        bg_mask = bg_mask[oy:oy + S, ox:ox + S]
         bg_mask = bg_mask.astype(np.int64)
         semantic = bg_mask * int(category_ids[0])
 

@@ -58,11 +58,19 @@ def random_crop(
     w, h = image.size
     pad_h = max(crop_size - h, 0)
     pad_w = max(crop_size - w, 0)
-    # padding goes entirely into one random corner quadrant
-    corner = rng.integers(0, 4)
-    lefts = [pad_w, pad_w, 0, 0]
-    tops = [pad_h, 0, pad_h, 0]
-    pl, pt = lefts[corner], tops[corner]
+    # padding goes entirely into one corner quadrant. The reference's
+    # elif chain RE-DRAWS random() per comparison (geometric_transforms.py
+    # :35-42), so the corners are NOT uniform: P = 0.25 / 0.1875 / 0.1406 /
+    # 0.4219 for (left+top / left+bottom / top+right / right+bottom).
+    # Reproduced faithfully (this file keeps reference quirks, cf. hflip).
+    if rng.random() < 0.25:
+        pl, pt = pad_w, pad_h
+    elif 0.25 <= rng.random() < 0.5:
+        pl, pt = pad_w, 0
+    elif 0.5 <= rng.random() < 0.75:
+        pl, pt = 0, pad_h
+    else:
+        pl, pt = 0, 0
     pr, pb = pad_w - pl, pad_h - pt
 
     arr = np.array(image)

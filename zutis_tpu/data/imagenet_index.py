@@ -162,7 +162,11 @@ class PASS:
             embs = np.asarray(encode_fn(chunk), np.float32)
             embs /= np.linalg.norm(embs, axis=1, keepdims=True) + 1e-12
             for p, e in zip(chunk, embs):
-                bank[os.path.basename(p)] = e
+                # key by path RELATIVE to images/: PASS archives extract
+                # into part subdirectories (images/0/x.jpg), where basename
+                # keys collide across parts and flat joins resolve to
+                # nonexistent files at training time
+                bank[os.path.relpath(p, self.dir_images)] = e
         with open(self.bank_fp, "wb") as f:
             pickle.dump(bank, f)
         return self.bank_fp

@@ -23,10 +23,14 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-# python `re` lacks \p{L}/\p{N}; [^\W\d_] == unicode letter, \d == digit
+# python `re` lacks \p{L}/\p{N}; [^\W\d_] == unicode letter, \d == digit.
+# The symbol-run alternative must INCLUDE '_' (CLIP's [^\s\p{L}\p{N}]+
+# counts underscore as a symbol, but \w covers it, so a bare [^\s\w]+
+# would silently drop underscores from e.g. wnid-derived names like
+# "great_white_shark" and diverge from clip.tokenize).
 _PAT = re.compile(
     r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
-    r"|[^\W\d_]+|\d|[^\s\w]+",
+    r"|[^\W\d_]+|\d|(?:[^\s\w]|_)+",
     re.IGNORECASE | re.UNICODE,
 )
 

@@ -304,9 +304,15 @@ def criterion_loss(
         costs, col4rows[..., None], axis=-1)[..., 0]  # [L, b, N]
     matched = jnp.where(instance_valid[None], matched, 0.0)
     per_image_layers = matched.sum(-1)  # [L, b]
-    # image with no valid instance contributes 0 (reference skips it)
-    any_valid = instance_valid.any(axis=1)
-    per_image = jnp.where(any_valid, per_image_layers.sum(0), 0.0)
+    # reference criterion.py:114-116 skips an image when its GT masks sum
+    # to ZERO PIXELS — not merely when no row is flagged valid: augmentation
+    # (extreme scale + crop) can wipe every sampled object's pixels while
+    # instance_valid stays True, and matching those all-empty rows would add
+    # nonzero dice+BCE cost the reference never pays
+    gt_pixels = (
+        gt_instance_masks * instance_valid[..., None, None]
+    ).sum(axis=(1, 2, 3))
+    per_image = jnp.where(gt_pixels > 0, per_image_layers.sum(0), 0.0)
     mask_loss = per_image.sum() / b
 
     loss = weight_mask_loss * mask_loss + weight_ce_loss * ce

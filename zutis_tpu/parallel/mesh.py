@@ -66,16 +66,6 @@ def param_partition_spec(path: str, model_axis: str = "model") -> P:
     return P()  # replicated
 
 
-def _tree_paths(tree) -> Dict[str, P]:
-    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
-    out = {}
-    for keypath, _ in flat:
-        path = "/".join(
-            k.key if hasattr(k, "key") else str(k) for k in keypath
-        )
-        out[path] = None
-    return out
-
 
 def params_sharding_tree(params, mesh: Mesh, model_axis: str = "model"):
     """Pytree of NamedShardings matching `params` via the TP rules."""

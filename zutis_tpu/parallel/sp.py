@@ -60,19 +60,21 @@ def ring_attention(
     n = jax.lax.psum(1, axis_name)
     scale = q.shape[-1] ** -0.5
 
-    def step(i, carry):
-        acc, m, l, k_blk, v_blk = carry
+    def fold(acc, m, l, k_blk, v_blk):
         a_i, m_i, l_i = _block_stats(q, k_blk, v_blk, scale)
         m_new = jnp.maximum(m, m_i)
         alpha = jnp.exp(m - m_new)
         beta = jnp.exp(m_i - m_new)
-        acc = acc * alpha + a_i * beta
-        l = l * alpha + l_i * beta
-        # rotate K/V to the next chip (skip after the last fold)
+        return acc * alpha + a_i * beta, m_new, l * alpha + l_i * beta
+
+    def step(i, carry):
+        acc, m, l, k_blk, v_blk = carry
+        acc, m, l = fold(acc, m, l, k_blk, v_blk)
+        # rotate K/V to the next chip
         perm = [(j, (j + 1) % n) for j in range(n)]
         k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
         v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
-        return acc, m_new, l, k_blk, v_blk
+        return acc, m, l, k_blk, v_blk
 
     b, h, sq, d = q.shape
     # pcast-to-varying: the zero-init carries must carry the same
@@ -84,8 +86,13 @@ def ring_attention(
         to="varying")
     l0 = jax.lax.pcast(
         jnp.zeros((b, h, sq, 1), jnp.float32), axis_name, to="varying")
-    acc, _, l, _, _ = jax.lax.fori_loop(
-        0, n, step, (acc0, m0, l0, k, v))
+    # rotate only n-1 times: the loop folds blocks 0..n-2, the LAST block
+    # folds outside the loop with no trailing ppermute pair (a rotation
+    # after the final fold is dead ICI traffic the while-loop body can't
+    # DCE)
+    acc, m, l, k_blk, v_blk = jax.lax.fori_loop(
+        0, n - 1, step, (acc0, m0, l0, k, v))
+    acc, _, l = fold(acc, m, l, k_blk, v_blk)
     return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
 
 

@@ -55,3 +55,13 @@ def test_trainer_raises_on_nan_loss():
 
     with pytest.raises(prof.NonFiniteError, match="step 1"):
         trainer.fit(state, tx, batches(), n_iters=2, n_categories=3)
+
+
+def test_check_finite_catches_bfloat16_nan():
+    """numpy classifies ml_dtypes.bfloat16 as kind 'V' (not np.floating), so
+    an np-based dtype test silently skipped leaves in the project's own TPU
+    compute dtype."""
+    bad = {"loss": jnp.asarray(float("nan"), jnp.bfloat16)}
+    with pytest.raises(prof.NonFiniteError, match="loss"):
+        prof.check_finite(bad, where="bf16-test")
+    prof.check_finite({"ok": jnp.asarray(1.5, jnp.bfloat16)}, "ok")

@@ -73,6 +73,12 @@ def main(argv=None):
 
     enable_compilation_cache()
     cfg = Config.load(args.p_config)
+    # same numerical-headroom knob cli/main.py honours: a checkpoint
+    # trained at matmul_precision "highest" must be EVALUATED at it too,
+    # or AP numbers diverge between the two entry points
+    if cfg.extras.get("matmul_precision"):
+        jax.config.update("jax_default_matmul_precision",
+                          cfg.extras["matmul_precision"])
     arch_tag = cfg.clip_arch.lower().replace("-", "_").replace("/", "_")
     dir_ckpt = f"{args.dir_ckpt}/coco20k/{arch_tag}"
     os.makedirs(dir_ckpt, exist_ok=True)
@@ -94,7 +100,7 @@ def main(argv=None):
         model = build_zutis(cfg.clip_arch, dtype=dtype,
                             encoder_type=cfg.encoder_type)
     params = load_params_any(args.p_state_dict)
-    text_embeddings = build_text_embeddings(cfg, dtype)
+    text_embeddings = build_text_embeddings(cfg)
 
     def load_image(image_id):
         info = coco.load_img(image_id)
@@ -132,6 +138,7 @@ def main(argv=None):
         n_visualised[0] += 1
 
     predictions = []
+    compile_seconds = [0.0]
     t0 = time.time()
     use_batched = (
         args.batch_images > 1
@@ -161,15 +168,22 @@ def main(argv=None):
             padded, native_grid, native_pixels = BE.pad_batch(
                 images, shape, args.batch_images, model.patch_size,
                 dtype=np.uint8)
+            step_args = (params, jnp.asarray(padded),
+                         jnp.asarray(native_grid),
+                         jnp.asarray(native_pixels))
             if shape not in steps:
-                # AP eval never reads the semantic map — skip its decode
+                # AP eval never reads the semantic map — skip its decode.
+                # Time the bucket's trace+compile (the first call blocks on
+                # it) so the reported throughput can exclude cold compiles
+                t_c = time.time()
                 steps[shape] = BE.make_instance_step(
                     model, text_embeddings, shape,
                     threshold=args.threshold, nms_type=args.nms_type,
                     uint8_input=True, semantic_mode="none")
-            return steps[shape](
-                params, jnp.asarray(padded), jnp.asarray(native_grid),
-                jnp.asarray(native_pixels))
+                out = steps[shape](*step_args)
+                compile_seconds[0] += time.time() - t_c
+                return out
+            return steps[shape](*step_args)
 
         def collect(dev, batch):
             _, items = batch
@@ -236,6 +250,12 @@ def main(argv=None):
         "AR_large": stats["AR_large"],
         "eval_images_per_sec": (
             len(image_ids) / eval_seconds if eval_seconds > 0 else 0.0
+        ),
+        # steady-state rate: cold per-bucket XLA compiles (minutes under
+        # the tunnelled runtime) excluded from the denominator
+        "compile_seconds": round(compile_seconds[0], 2),
+        "eval_images_per_sec_warm": (
+            len(image_ids) / max(eval_seconds - compile_seconds[0], 1e-9)
         ),
     }
     suffix = f"_{args.suffix}" if args.suffix else ""

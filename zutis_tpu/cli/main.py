@@ -26,11 +26,12 @@ import os
 from argparse import ArgumentParser
 
 
-def build_text_embeddings(cfg, model_dtype):
+def build_text_embeddings(cfg):
     """Plain (template-free) per-category CLIP text embeddings for the ZUTIS
-    head (reference networks/zutis.py:35-38). Cached per config checksum.
-    A `text_embeddings_npz` config extra short-circuits to precomputed
-    embeddings (tests / offline runs)."""
+    head (reference networks/zutis.py:35-38), always f32 (the convention:
+    params/embeddings stay f32, activations cast per compute dtype). Cached
+    per (arch, category-list hash). A `text_embeddings_npz` config extra
+    short-circuits to precomputed embeddings (tests / offline runs)."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -44,10 +45,16 @@ def build_text_embeddings(cfg, model_dtype):
     )
     from zutis_tpu.retrieval.text_embeddings import plain_category_embeddings
 
+    import hashlib
+
+    # hash the category LIST into the name: two presets with equal counts
+    # (e.g. coca vs coco81, both 81) would otherwise thrash one cache file
+    cat_hash = hashlib.sha1(
+        "\x00".join(cfg.categories).encode()).hexdigest()[:10]
     cache_fp = os.path.join(
         cfg.clip_assets_dir or ".",
         f"text_emb_{cfg.clip_arch.replace('/', '_')}_"
-        f"{len(cfg.categories)}cat.npz",
+        f"{len(cfg.categories)}cat_{cat_hash}.npz",
     )
     if os.path.exists(cache_fp):
         data = np.load(cache_fp, allow_pickle=True)
@@ -127,7 +134,7 @@ def main(argv=None):
     else:
         model = build_zutis(cfg.clip_arch, stop_gradient=cfg.stop_gradient,
                             dtype=dtype, encoder_type=cfg.encoder_type)
-    text_embeddings = build_text_embeddings(cfg, dtype)
+    text_embeddings = build_text_embeddings(cfg)
 
     val_dataset = get_eval_dataset(
         cfg.dataset_name, cfg.dir_val_dataset, split=cfg.split,

@@ -89,7 +89,12 @@ class Config:
     def load(cls, p_config: str, **overrides) -> "Config":
         with open(p_config) as f:
             raw: Dict[str, Any] = yaml.safe_load(f)
-        raw.update(overrides)
+        # reference main.py:30-31 does args.update(base_args): the YAML
+        # wins over argparse values; CLI overrides only fill keys the YAML
+        # does not set (so a config pinning e.g. `seed:` keeps its
+        # checkpoint-directory naming regardless of flag defaults)
+        for k, v in overrides.items():
+            raw.setdefault(k, v)
         raw["p_config"] = p_config
         names = {f.name for f in dataclasses.fields(cls)}
         known = {k: v for k, v in raw.items() if k in names}

@@ -10,7 +10,9 @@ reference has neither — only tqdm postfix strings and CUDA_LAUNCH_BLOCKING).
     first NaN-producing op instead of propagating).
   - `check_finite(tree, where)`: host-side guard over a fetched pytree —
     cheap (runs on already-fetched metrics), raises with the offending leaf
-    path. The train loop guards its per-step loss with it.
+    path. (The train loop's per-step loss guard raises NonFiniteError
+    directly in engine/trainer.py's drain; this helper serves ad-hoc
+    pytree checks and tests.)
 """
 from __future__ import annotations
 
@@ -43,11 +45,18 @@ class NonFiniteError(RuntimeError):
 
 
 def check_finite(tree, where: str = "") -> None:
+    import jax.numpy as jnp
+
     flat, _ = jax.tree_util.tree_flatten_with_path(tree)
     for keypath, leaf in flat:
         arr = np.asarray(leaf)
-        if not np.issubdtype(arr.dtype, np.floating):
+        # jnp.issubdtype (not np.) — numpy classifies ml_dtypes.bfloat16 as
+        # kind 'V', so an np.floating test silently SKIPS leaves in the
+        # project's own TPU compute dtype
+        if not jnp.issubdtype(arr.dtype, jnp.floating):
             continue
+        if arr.dtype.kind != "f":  # extended floats: upcast for isfinite
+            arr = arr.astype(np.float32)
         if not np.all(np.isfinite(arr)):
             path = "/".join(
                 k.key if hasattr(k, "key") else str(k) for k in keypath)

@@ -44,8 +44,11 @@ def load_rle_lib() -> Optional[ctypes.CDLL]:
     if not os.path.exists(_LIB) or (
         os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
     ):
-        if not _build():
+        if not _build() and not os.path.exists(_LIB):
             return None
+        # build failed but a prebuilt librle.so exists (mtime-stale only —
+        # git clones don't preserve mtimes): load it rather than silently
+        # dropping to the ~100x-slower Python codec on g++-less boxes
     try:
         lib = ctypes.CDLL(_LIB)
     except OSError:

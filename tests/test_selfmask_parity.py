@@ -60,7 +60,10 @@ def test_selfmask_best_mask_matches_torch_pipeline():
     got = got[0, :H, :W]
     # binary equality except where the probability sits on the 0.5 decision
     # boundary (untrained random weights put ~0.5% of pixels within fp noise
-    # of the threshold; real checkpoints are saturated)
-    decided = np.abs(want_prob - 0.5) > 1e-3
+    # of the threshold; real checkpoints are saturated). The exclusion band
+    # matches the forward test's tolerance (rtol 2e-3): a pixel whose
+    # probability differs by fp noise up to that bound may legitimately
+    # flip if it sits within the same distance of 0.5
+    decided = np.abs(want_prob - 0.5) > 2e-3
     np.testing.assert_array_equal(got[decided], want[decided])
     assert decided.mean() > 0.98

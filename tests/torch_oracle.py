@@ -297,7 +297,20 @@ class TorchSelfMask(nn.Module):
         tokens = t.flatten(2).permute(0, 2, 1)
         cls = self.encoder.cls_token.expand(b, 1, d)
         tokens = torch.cat([cls, tokens], dim=1)
-        pe = TorchCLIPViT.interp_pos(self.encoder.pos_embed[0], (h, w))
+        # SelfMask reference variant (vision_transformer.py:377-401):
+        # identity at the native grid; exact-size bicubic otherwise (no
+        # +0.1 fudge — that is the CLIP tower's interpolation)
+        pe0 = self.encoder.pos_embed[0]
+        g = int((pe0.shape[0] - 1) ** 0.5)
+        if (h, w) == (g, g):
+            pe = pe0
+        else:
+            cls_pe, patch_pe = pe0[:1], pe0[1:]
+            grid = patch_pe.reshape(g, g, -1).permute(2, 0, 1)[None]
+            grid = torch.nn.functional.interpolate(
+                grid, size=(h, w), mode="bicubic", align_corners=False)
+            patch_pe = grid[0].permute(1, 2, 0).reshape(h * w, -1)
+            pe = torch.cat([cls_pe, patch_pe], dim=0)
         tokens = tokens + pe[None]
         for blk in self.encoder.blocks:
             tokens = blk(tokens)

@@ -6,7 +6,8 @@ networks/selfmask/vision_transformer.py):
   encoder — DeiT-small (embed 384, 12 layers, 6 heads, patch 8, GELU MLP,
       pre-norm); inputs are zero-padded right/bottom to a patch multiple
       (make_input_divisible, vision_transformer.py:260-267); position
-      embeddings bicubic-interpolated with the DINO +0.1 fudge
+      embeddings bicubic-interpolated exact-size (identity at the
+      native grid; vision_transformer.py:377-401 — no fudge)
       (vision_transformer.py:377-...).
   decoder — 6 DETR decoder layers (FFN 1536, dropout 0), tgt=0, query_pos =
       20 learned N(0,1) queries, NO memory positional encoding, final shared
@@ -30,7 +31,7 @@ import numpy as np
 
 from zutis_tpu.models.decoder import QueryDecoder
 from zutis_tpu.models.layers import MLP, LayerNorm32, MultiHeadAttention
-from zutis_tpu.models.vit import interpolate_pos_embed
+from zutis_tpu.models.vit import interpolate_pos_embed_exact
 from zutis_tpu.ops.resize import interpolate
 
 
@@ -84,7 +85,10 @@ class DeiTEncoder(nn.Module):
         tokens = jnp.concatenate(
             [jnp.broadcast_to(cls_token.astype(self.dtype),
                               (b, 1, self.embed_dim)), tokens], axis=1)
-        pe = interpolate_pos_embed(pos_embed, (h, w))
+        # reference selfmask/vision_transformer.py:377-401: exact-size
+        # bicubic, identity at the native grid, NO +0.1 fudge (that
+        # fudge is the CLIP tower's; the two references differ)
+        pe = interpolate_pos_embed_exact(pos_embed, (h, w))
         tokens = tokens + pe.astype(self.dtype)[None]
         for i in range(self.depth):
             tokens = DeiTBlock(self.embed_dim, self.heads, dtype=self.dtype,

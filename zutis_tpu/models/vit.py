@@ -70,6 +70,28 @@ def interpolate_pos_embed(
     return jnp.concatenate([cls_pe, patch_pe], axis=0)
 
 
+def interpolate_pos_embed_exact(
+    pos_embed: jnp.ndarray,  # [1 + g*g, width]
+    size: Tuple[int, int],
+) -> jnp.ndarray:
+    """The SelfMask ViT's variant (reference networks/selfmask/
+    vision_transformer.py:377-401): IDENTITY when the grid matches the
+    stored embedding, otherwise F.interpolate(size=(h, w), bicubic,
+    align_corners=False) — the exact-size code path, with NO +0.1
+    scale-factor fudge (that fudge belongs to the CLIP tower only,
+    clip_arch.py:357-374; the two references interpolate differently)."""
+    h, w = size
+    cls_pe, patch_pe = pos_embed[:1], pos_embed[1:]
+    hw, n_dims = patch_pe.shape
+    g = int(math.sqrt(hw))
+    if (h, w) == (g, g):
+        return pos_embed
+    grid = patch_pe.reshape(g, g, n_dims).transpose(2, 0, 1)  # [d, g, g]
+    grid = resize_2d(grid, (h, w), mode="cubic")
+    patch_pe = grid.transpose(1, 2, 0).reshape(h * w, n_dims)
+    return jnp.concatenate([cls_pe, patch_pe], axis=0)
+
+
 class CLIPViT(nn.Module):
     width: int = 768
     layers: int = 12

@@ -68,28 +68,39 @@ def topk_sharded(
     )
     text_rep = jax.device_put(text_emb, NamedSharding(mesh, P()))
 
+    # per-shard k: a shard with fewer rows than k contributes ALL its rows,
+    # which keeps the two-stage merge exact (the global top-k can then never
+    # want a row a shard withheld); plain top_k(k > shard_rows) would raise
+    k_loc = min(k, shard_rows)
+    assert k <= n, f"top-{k} from a bank of {n} rows"
+
     @partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(), P(axis, None)),
         out_specs=(P(axis), P(axis)),
     )
     def local_topk(text, bank_shard):
-        vals, idx = topk_local(text, bank_shard, k)
-        # offset local indices into global row space
+        sims = jnp.einsum("cd,nd->cn", text, bank_shard,
+                          preferred_element_type=jnp.float32)
+        # pad rows score -inf, NOT their zero dot product: legitimate
+        # similarities can be negative, and a 0-scoring pad row inside the
+        # local top-k would displace real candidates from the merge
         shard_id = jax.lax.axis_index(axis)
-        idx = idx + shard_id * shard_rows
+        global_idx = shard_id * shard_rows + jnp.arange(shard_rows)
+        sims = jnp.where(global_idx[None, :] < n, sims, -jnp.inf)
+        vals, idx = jax.lax.top_k(sims, k_loc)
+        idx = idx + shard_id * shard_rows  # into global row space
         # leading axis must be the sharded one for out_specs
         return vals[None], idx[None]
 
-    vals, idx = local_topk(text_rep, bank_sharded)  # [shards, C, k] each
+    vals, idx = local_topk(text_rep, bank_sharded)  # [shards, C, k_loc]
     vals = jnp.transpose(vals, (1, 0, 2)).reshape(text_emb.shape[0], -1)
     idx = jnp.transpose(idx, (1, 0, 2)).reshape(text_emb.shape[0], -1)
     merged_vals, merged_pos = jax.lax.top_k(vals, k)
     merged_idx = jnp.take_along_axis(idx, merged_pos, axis=1)
-    # mask out padding rows (they score 0; legitimate scores can be <= 0, so
-    # filter by index range instead)
-    valid = merged_idx < n
-    return (np.asarray(merged_vals), np.where(np.asarray(valid),
+    # -inf entries can only appear if k exceeded the REAL row count
+    valid = np.isfinite(np.asarray(merged_vals))
+    return (np.asarray(merged_vals), np.where(valid,
                                               np.asarray(merged_idx), -1))
 
 

@@ -24,13 +24,22 @@ CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 def clip_preprocess(pil: Image.Image, resolution: int) -> np.ndarray:
     """Resize shorter side to `resolution` (bicubic), center crop, CLIP
-    normalisation -> [3, R, R] float32."""
+    normalisation -> [3, R, R] float32. Size arithmetic matches
+    torchvision exactly (the reference pipeline,
+    extract_image_embeddings.py:97-99): the LONG side TRUNCATES
+    (`int(size * long / short)`, _compute_resized_output_size) and the
+    center-crop offset rounds (`int(round(delta / 2.))`, F.center_crop) —
+    a round()/floor-div translation shifts the crop window by 1 px for
+    some aspect ratios, perturbing embeddings vs reference-built banks."""
     w, h = pil.size
-    scale = resolution / min(w, h)
-    pil = pil.resize((round(w * scale), round(h * scale)), Image.BICUBIC)
+    if w <= h:
+        new_w, new_h = resolution, int(resolution * h / w)
+    else:
+        new_w, new_h = int(resolution * w / h), resolution
+    pil = pil.resize((new_w, new_h), Image.BICUBIC)
     w, h = pil.size
-    left = (w - resolution) // 2
-    top = (h - resolution) // 2
+    left = int(round((w - resolution) / 2.0))
+    top = int(round((h - resolution) / 2.0))
     pil = pil.crop((left, top, left + resolution, top + resolution))
     arr = np.asarray(pil.convert("RGB"), np.float32) / 255.0
     arr = (arr - CLIP_MEAN) / CLIP_STD

@@ -23,13 +23,29 @@ from zutis_tpu.data.tokenizer import CLIPTokenizer
 from zutis_tpu.retrieval.prompts import PROMPT_TEMPLATES
 
 
+_APPLY_CACHE: dict = {}
+
+
+def _jitted_apply(text_encoder):
+    """One jitted apply per encoder instance: a fresh jax.jit(lambda) per
+    encode_texts call would retrace+recompile per call — at 919 categories
+    x 85 templates that is 919 identical compiles of the (85, 77) batch."""
+    key = id(text_encoder)
+    if key not in _APPLY_CACHE:
+        _APPLY_CACHE[key] = (
+            text_encoder,  # keep alive so id() can't be recycled
+            jax.jit(lambda p, t: text_encoder.apply({"params": p}, t)),
+        )
+    return _APPLY_CACHE[key][1]
+
+
 def encode_texts(
     text_encoder, text_params, tokenizer: CLIPTokenizer, texts: List[str],
     batch_size: int = 256,
 ) -> np.ndarray:
     """-> [n, embed_dim] float32 (unnormalised CLIP text embeddings)."""
     tokens = tokenizer.tokenize(texts)
-    apply = jax.jit(lambda p, t: text_encoder.apply({"params": p}, t))
+    apply = _jitted_apply(text_encoder)
     outs = []
     for i in range(0, len(tokens), batch_size):
         chunk = tokens[i:i + batch_size]

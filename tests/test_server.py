@@ -83,3 +83,28 @@ def test_uint8_transport_matches_float_path(server_parts):
     want = srv_f32.infer(norm)
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g["semantic"], w["semantic"])
+
+
+def test_stop_resolves_queued_futures(server_parts):
+    """stop() must not strand submitted Futures: anything still queued when
+    the worker exits gets cancelled so a waiter blocked in fut.result()
+    errors out instead of hanging forever."""
+    import concurrent.futures
+
+    model, params, text, images = server_parts
+    srv = InferenceServer(model, params, text, image_size=32, batch_size=4,
+                          threshold=0.4)
+    srv.start()
+    srv.stop()
+    # re-start, enqueue while stopped-worker scenario: stop with items
+    # racing the worker exit
+    srv.start()
+    futs = [srv.submit(images[0]) for _ in range(6)]
+    srv.stop()
+    for f in futs:
+        # every future is RESOLVED: a result, an exception, or cancelled
+        try:
+            f.result(timeout=30)
+        except (concurrent.futures.CancelledError, Exception):
+            pass
+        assert f.done() or f.cancelled()

@@ -1,4 +1,9 @@
 #!/bin/bash
+# FINDING (kept for the record, PERF.md r4 addendum): the tunnel's
+# remote-compile REJECTS client-side TPU-only XLA_FLAGS — the terminal's
+# flags win — so the non-baseline rows of this sweep never actually apply
+# their flags in this environment. Do not read them as "flags don't help";
+# re-run on a directly-attached TPU host to get real numbers.
 # Dense-bench XLA flag sweep (VERDICT r3 task 2): XLA_FLAGS are process-
 # level, so each config measures the bench program (batch 64 only) in its
 # own process. Results print one JSON line per config; an invalid flag

@@ -6,7 +6,8 @@ selective fetch (packed bits + per-query scalars) -> host RLE/JSON assembly
 (C++ packed codec). `--dense` instead fetches the full [B,Q,H,W] bool masks
 and assembles with the per-mask codec — the r2 path, for comparison.
 
-Usage: timeout 900 python tools/instance_eval_bench.py [--batch N] [--dense]
+Usage: PYTHONPATH=/root/.axon_site:/root/repo timeout 900 \\
+       python tools/instance_eval_bench.py [--batch N] [--path dense]
 """
 from __future__ import annotations
 
@@ -70,6 +71,10 @@ def main() -> None:
     pix_d = jnp.asarray(native_pixels)
     label_map = {i: i for i in range(n_cat)}
 
+    from zutis_tpu.postproc.instance import pack_masks_fortran
+
+    packed_fn = jax.jit(pack_masks_fortran)  # hoisted: one trace, reused
+
     def dispatch_once(_=None):
         return step(params, padded_d, grid_d, pix_d)
 
@@ -84,8 +89,11 @@ def main() -> None:
                 dev_masks=dev["masks"],
             )
         if args.path == "dense":
+            # only the keys the dense assembly reads: fetching host_blob/
+            # rle too would add D2H round-trips the r2 path never paid,
+            # inflating the dense baseline this mode exists to reproduce
             res = {k: np.asarray(v) for k, v in dev.items()
-                   if k != "masks_packed"}
+                   if k in ("masks", "scores", "category_ids", "keep")}
             preds = []
             for j in range(B):
                 H, W = sizes[j]
@@ -103,13 +111,10 @@ def main() -> None:
         # "packed": r3's packed-bits transport, kept for comparison — the
         # hot step no longer emits masks_packed, so pack here via a jitted
         # device pack of the dense masks (same bytes crossing the boundary)
-        from zutis_tpu.postproc.instance import pack_masks_fortran
-
         res = {k: np.asarray(v)
                for k, v in dev.items() if k in ("scores", "category_ids",
                                                 "keep")}
-        res["masks_packed"] = np.asarray(jax.jit(pack_masks_fortran)(
-            dev["masks"]))
+        res["masks_packed"] = np.asarray(packed_fn(dev["masks"]))
         res["col_stride_bits"] = shape[0]
         return instances_to_coco_packed(
             res, image_ids=list(range(B)), sizes=sizes,

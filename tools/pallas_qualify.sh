@@ -19,6 +19,8 @@ print('HEALTHY', float(jnp.sum(x)))" 2>/dev/null | grep -a HEALTHY | tail -1)
   return 1
 }
 
+export PYTHONPATH="$PWD:${PYTHONPATH}"  # zutis_tpu importable from tools/
+
 for stage in "$@"; do
   wait_healthy || exit 1
   echo "=== stage $stage (timeout 420s) ==="

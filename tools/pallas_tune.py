@@ -4,7 +4,7 @@ Measures kernel variants against the shipped XLA path on the bench program's
 encoder attention shape (b=64 h=12 sq=sk=577 d=64 bf16). Run one variant per
 invocation under tools/pallas_qualify.sh-style watchdogs:
 
-    timeout 420 python tools/pallas_tune.py <variant> [block_q]
+    timeout 420 PYTHONPATH=/root/.axon_site:/root/repo python tools/pallas_tune.py <variant> [block_q]
 
 Variants:
   ship       — the shipped ops/flash_attention.py kernel (baseline: 6.05 ms)
@@ -348,6 +348,9 @@ def main() -> None:
         def fn_impl(q, k, v):
             b_, h_, sq_, d_ = q.shape
             sk_ = k.shape[2]
+            # the pad width and kv segment ids below are derived from sq_;
+            # they are only correct for self-attention shapes
+            assert sq_ == sk_, "jaxflash variant assumes sq == sk"
             pad = ((sq_ + blk - 1) // blk) * blk
             qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad - sq_), (0, 0)))
             kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad - sk_), (0, 0)))

@@ -5,7 +5,7 @@ bench got in round 3 (VERDICT r3 task 3: "first commit the per-op trace").
 
 Usage: timeout 900 python tools/trace_instance.py [batch] [outdir]
 Report: PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python \
-            python tools/trace_report.py <outdir>
+            PYTHONPATH=/root/.axon_site:/root/repo python tools/trace_report.py <outdir>
 """
 from __future__ import annotations
 

@@ -7,7 +7,6 @@ import os
 
 import numpy as np
 import pytest
-import yaml
 from PIL import Image
 
 from zutis_tpu.ops import rle as rle_ops
@@ -15,96 +14,15 @@ from zutis_tpu.ops import rle as rle_ops
 
 @pytest.fixture(scope="module")
 def fixture_dir(tmp_path_factory):
+    from fixture_helpers import base_cli_cfg, dump_cfg, write_cli_fixture
+
     root = tmp_path_factory.mktemp("zutis_fixture")
-    rng = np.random.RandomState(0)
-
-    # --- index (training) images + pseudo-mask JSONs ---
-    dir_train = root / "archive"
-    dir_pm = root / "cache" / "pseudo_masks"
-    dir_train.mkdir()
-    dir_pm.mkdir(parents=True)
-    categories = ["background", "square", "blob"]
-    cat_to_paths = {c: [] for c in categories[1:]}
-    for c_i, cat in enumerate(categories[1:], start=1):
-        for i in range(3):
-            h = w = 48
-            img = rng.randint(0, 255, (h, w, 3), np.uint8)
-            mask = np.zeros((h, w), np.uint8)
-            mask[10:34, 8:30] = 1
-            p = dir_train / f"{cat}_{i}.jpg"
-            Image.fromarray(img).save(p)
-            cat_to_paths[cat].append(str(p))
-            with open(dir_pm / f"{cat}_{i}.json", "w") as f:
-                json.dump(rle_ops.encode(mask), f)
-    cat_fp = root / "cache" / "category_to_p_images.json"
-    with open(cat_fp, "w") as f:
-        json.dump(cat_to_paths, f)
-
-    # --- tiny COCO val set ---
-    dir_val = root / "coco"
-    (dir_val / "val2017").mkdir(parents=True)
-    (dir_val / "annotations").mkdir()
-    images, annotations = [], []
-    for img_id in (1, 2):
-        arr = rng.randint(0, 255, (40, 40, 3), np.uint8)
-        Image.fromarray(arr).save(dir_val / "val2017" / f"{img_id:012d}.jpg")
-        m = np.zeros((40, 40), np.uint8)
-        m[5:20, 5:25] = 1
-        images.append({"id": img_id, "height": 40, "width": 40,
-                       "file_name": f"{img_id:012d}.jpg"})
-        annotations.append({
-            "id": img_id, "image_id": img_id, "category_id": 1,
-            "segmentation": rle_ops.encode(m), "area": int(m.sum()),
-            "iscrowd": 0, "bbox": rle_ops.to_bbox(m),
-        })
-    with open(dir_val / "annotations" / "instances_val2017.json", "w") as f:
-        json.dump({"images": images, "annotations": annotations,
-                   "categories": [{"id": 1, "name": "square"},
-                                  {"id": 2, "name": "blob"}]}, f)
-
-    # --- random text embeddings (3 categories x 16 dims) ---
-    emb = rng.randn(3, 16).astype(np.float32)
-    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
-    emb_fp = root / "text_emb.npz"
-    np.savez(emb_fp, embeddings=emb)
-
-    # --- config ---
-    cfg = {
-        "dir_ckpt": str(root / "ckpt"),
-        "dir_train_dataset": [str(dir_train)],
-        "p_filename_to_image_embedding": [],
-        "dir_val_dataset": str(dir_val),
-        "n_categories": 3,
-        "categories": categories,
-        "category_to_p_images_fp": str(cat_fp),
-        "n_images": 3,
-        "index_dataset_name": "index",
-        "train_image_size": 32,
-        "ignore_index": 255,
-        "scale_range": [0.5, 1.0],
-        "use_advanced_copy_paste": False,
-        "random_duplicate": True,
-        "dataset_name": "coco2017",
-        "split": "val",
-        "train_dataloader_kwargs": {"batch_size": 2},
-        "val_dataloader_kwargs": {"batch_size": 1},
-        "clip_arch": "ViT-B/16",
-        "n_iters": 3,
-        "iter_eval": 3,
-        "iter_log": 1,
-        # test hooks
-        "skip_pretrained": True,
-        "text_embeddings_npz": str(emb_fp),
-        "model_kwargs": {
-            "width": 32, "encoder_layers": 1, "encoder_heads": 2,
-            "patch_size": 16, "text_dim": 16, "n_queries": 12,
-            "n_decoder_layers": 2, "n_heads": 2, "input_resolution": 32,
-        },
-    }
-    cfg_fp = root / "tiny.yaml"
-    with open(cfg_fp, "w") as f:
-        yaml.safe_dump(cfg, f)
-    return root, str(cfg_fp)
+    categories, cat_fp, dir_train, dir_val, emb_fp = write_cli_fixture(
+        root, n_val_images=2)
+    cfg = base_cli_cfg(categories, cat_fp, dir_train, dir_val, emb_fp,
+                       root / "ckpt")
+    cfg_fp = dump_cfg(cfg, root / "tiny.yaml")
+    return root, cfg_fp
 
 
 def test_train_then_eval(fixture_dir):

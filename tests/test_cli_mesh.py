@@ -14,104 +14,34 @@ Covered here, on the 8-virtual-device CPU backend (conftest):
   - the resumed mesh run's final params numerically match a single-device
     run of the same seed/config (GSPMD changes layout, not math).
 """
-import json
 import os
 import shutil
 
 import numpy as np
 import pytest
 import yaml
-from PIL import Image
 
-from zutis_tpu.ops import rle as rle_ops
 
 
 def _write_fixture(root):
-    rng = np.random.RandomState(0)
-    dir_train = root / "archive"
-    dir_pm = root / "cache" / "pseudo_masks"
-    dir_train.mkdir()
-    dir_pm.mkdir(parents=True)
-    categories = ["background", "square", "blob"]
-    cat_to_paths = {c: [] for c in categories[1:]}
-    for cat in categories[1:]:
-        for i in range(3):
-            h = w = 48
-            img = rng.randint(0, 255, (h, w, 3), np.uint8)
-            mask = np.zeros((h, w), np.uint8)
-            mask[10:34, 8:30] = 1
-            p = dir_train / f"{cat}_{i}.jpg"
-            Image.fromarray(img).save(p)
-            cat_to_paths[cat].append(str(p))
-            with open(dir_pm / f"{cat}_{i}.json", "w") as f:
-                json.dump(rle_ops.encode(mask), f)
-    cat_fp = root / "cache" / "category_to_p_images.json"
-    with open(cat_fp, "w") as f:
-        json.dump(cat_to_paths, f)
+    from fixture_helpers import write_cli_fixture
 
-    dir_val = root / "coco"
-    (dir_val / "val2017").mkdir(parents=True)
-    (dir_val / "annotations").mkdir()
-    images, annotations = [], []
-    for img_id in (1,):
-        arr = rng.randint(0, 255, (40, 40, 3), np.uint8)
-        Image.fromarray(arr).save(dir_val / "val2017" / f"{img_id:012d}.jpg")
-        m = np.zeros((40, 40), np.uint8)
-        m[5:20, 5:25] = 1
-        images.append({"id": img_id, "height": 40, "width": 40,
-                       "file_name": f"{img_id:012d}.jpg"})
-        annotations.append({
-            "id": img_id, "image_id": img_id, "category_id": 1,
-            "segmentation": rle_ops.encode(m), "area": int(m.sum()),
-            "iscrowd": 0, "bbox": rle_ops.to_bbox(m),
-        })
-    with open(dir_val / "annotations" / "instances_val2017.json", "w") as f:
-        json.dump({"images": images, "annotations": annotations,
-                   "categories": [{"id": 1, "name": "square"},
-                                  {"id": 2, "name": "blob"}]}, f)
-
-    emb = rng.randn(3, 16).astype(np.float32)
-    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
-    emb_fp = root / "text_emb.npz"
-    np.savez(emb_fp, embeddings=emb)
-    return categories, cat_fp, dir_train, dir_val, emb_fp
+    return write_cli_fixture(root, n_val_images=1)
 
 
 def _base_cfg(root, categories, cat_fp, dir_train, dir_val, emb_fp,
               dir_ckpt):
-    return {
-        "dir_ckpt": str(dir_ckpt),
-        "dir_train_dataset": [str(dir_train)],
-        "p_filename_to_image_embedding": [],
-        "dir_val_dataset": str(dir_val),
-        "n_categories": 3,
-        "categories": categories,
-        "category_to_p_images_fp": str(cat_fp),
-        "n_images": 3,
-        "index_dataset_name": "index",
-        "train_image_size": 32,
-        "ignore_index": 255,
-        "scale_range": [0.5, 1.0],
-        "use_advanced_copy_paste": False,
-        "random_duplicate": True,
-        "dataset_name": "coco2017",
-        "split": "val",
-        "train_dataloader_kwargs": {"batch_size": 4},
-        "val_dataloader_kwargs": {"batch_size": 1},
-        "clip_arch": "ViT-B/16",
-        "n_iters": 4,
-        "iter_eval": 1000,   # > n_iters: no in-training eval, pure train
-        "iter_log": 2,
-        "checkpoint_every": 2,
-        "skip_pretrained": True,
-        "text_embeddings_npz": str(emb_fp),
-        "visualise": False,
-        "model_kwargs": {
-            "width": 32, "encoder_layers": 1, "encoder_heads": 2,
-            "patch_size": 16, "text_dim": 16, "n_queries": 12,
-            "n_decoder_layers": 2, "n_heads": 2, "input_resolution": 32,
-        },
-    }
+    from fixture_helpers import base_cli_cfg
+
+    return base_cli_cfg(
+        categories, cat_fp, dir_train, dir_val, emb_fp, dir_ckpt,
+        train_dataloader_kwargs={"batch_size": 4},
+        n_iters=4,
+        iter_eval=1000,  # > n_iters: no in-training eval, pure train
+        iter_log=2,
+        checkpoint_every=2,
+        visualise=False,
+    )
 
 
 def _final_npz(dir_ckpt):

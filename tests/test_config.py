@@ -39,14 +39,15 @@ def test_experiment_name_flags():
 
 
 def test_shipped_configs_load_and_preset_resolves(tmp_path):
-    for stem, n_cat, n_iters in [
-        ("coco2017_val_imagenet_pass_n500_vit_b_16", 81, 20000),
-        ("imagenet_s919_imagenet_n500_vit_b_16", 919, 80000),
+    for stem, n_cat, n_iters, n_entries in [
+        # the 81-category coco table counts 'background' within 81; the
+        # 919-class imagenet-s preset prepends it (920 entries)
+        ("coco2017_val_imagenet_pass_n500_vit_b_16", 81, 20000, 81),
+        ("imagenet_s919_imagenet_n500_vit_b_16", 919, 80000, 920),
     ]:
         cfg = Config.load(f"configs/{stem}.yaml")
         assert cfg.n_categories == n_cat and cfg.n_iters == n_iters
-        assert len(cfg.categories) == n_cat + (1 if n_cat == 919 else 0) or \
-            len(cfg.categories) in (n_cat, n_cat + 1)
+        assert len(cfg.categories) == n_entries
         assert cfg.categories[0] == "background"
         assert cfg.compute_dtype == "bfloat16"
 

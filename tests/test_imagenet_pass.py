@@ -132,9 +132,13 @@ def test_advanced_copy_paste_semantics():
     assert out["image"].shape == (3, 48, 48)
     assert out["semantic_mask"].shape == (48, 48)
     assert out["instance_mask"].shape[0] == out["n_instances"]
-    # background pixels were mean-filled: no zeros left in semantic where
-    # instance 1 (background object) lives
+    # pasted instances never overlap
     assert (out["instance_mask"].sum(0) <= 1).all()
+    # the background object's pixels carry ITS category in the semantic
+    # map (the comment used to claim this without asserting it)
+    bg = out["instance_mask"][0] > 0
+    assert bg.any()
+    assert (out["semantic_mask"][bg] == 1).all()
 
 
 def test_pass_bank_and_retrieval(tmp_path):

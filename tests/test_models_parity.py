@@ -289,6 +289,9 @@ def test_torch_checkpoint_export_roundtrip(tmp_path):
     fp = str(tmp_path / "model.pt")
     save_torch_checkpoint(zp, fp)
     back = load_params_any(fp)
-    for a, b in zip(jax.tree_util.tree_leaves(zp),
-                    jax.tree_util.tree_leaves(back)):
+    leaves_a = jax.tree_util.tree_leaves(zp)
+    leaves_b = jax.tree_util.tree_leaves(back)
+    # a truncated/partial restored tree must fail, not pass vacuously
+    assert len(leaves_a) == len(leaves_b)
+    for a, b in zip(leaves_a, leaves_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -66,13 +66,14 @@ def test_async_submit_matches_sync(server_parts):
 
 def test_uint8_transport_matches_float_path(server_parts):
     model, params, text, images = server_parts
-    from zutis_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+    from zutis_tpu.data.transforms import normalize_image
 
     rng = np.random.RandomState(7)
     raw = [rng.randint(0, 256, (3, 32, 32)).astype(np.uint8)
            for _ in range(3)]
-    norm = [((r.transpose(1, 2, 0) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
-             ).transpose(2, 0, 1).astype(np.float32) for r in raw]
+    # the f32 end-to-end helper, not a float64 hand-roll: the device path
+    # normalises in f32 and a float64 reference can flip argmax ties
+    norm = [normalize_image(r.transpose(1, 2, 0)) for r in raw]
 
     srv_u8 = InferenceServer(model, params, text, image_size=32,
                              batch_size=4, threshold=0.4,
@@ -82,7 +83,9 @@ def test_uint8_transport_matches_float_path(server_parts):
     got = srv_u8.infer(raw)
     want = srv_f32.infer(norm)
     for g, w in zip(got, want):
-        np.testing.assert_array_equal(g["semantic"], w["semantic"])
+        # ~1e-7 normalisation fp differences can flip rare argmax ties
+        # (same budget as test_batched_eval's uint8 parity test)
+        assert (g["semantic"] != w["semantic"]).mean() < 5e-3
 
 
 def test_stop_resolves_queued_futures(server_parts):
@@ -91,20 +94,39 @@ def test_stop_resolves_queued_futures(server_parts):
     errors out instead of hanging forever."""
     import concurrent.futures
 
+    import threading
+
     model, params, text, images = server_parts
     srv = InferenceServer(model, params, text, image_size=32, batch_size=4,
                           threshold=0.4)
+    # deterministic: the worker blocks inside infer on the first batch, so
+    # the later submissions are STILL QUEUED when stop() drains the queue
+    gate = threading.Event()
+    real_infer = srv.infer
+
+    def blocking_infer(imgs):
+        gate.wait(timeout=30)
+        return real_infer(imgs)
+
+    srv.infer = blocking_infer
     srv.start()
-    srv.stop()
-    # re-start, enqueue while stopped-worker scenario: stop with items
-    # racing the worker exit
-    srv.start()
-    futs = [srv.submit(images[0]) for _ in range(6)]
-    srv.stop()
-    for f in futs:
-        # every future is RESOLVED: a result, an exception, or cancelled
+    first = srv.submit(images[0])
+    import time as _t
+
+    _t.sleep(0.2)  # let the worker pick `first` up and block in infer
+    queued = [srv.submit(images[0]) for _ in range(3)]
+    stopper = threading.Thread(target=srv.stop)
+    stopper.start()
+    gate.set()  # release the worker; stop() joins it then drains
+    stopper.join(timeout=30)
+    assert not stopper.is_alive()
+    first.result(timeout=30)  # the in-flight batch still resolves
+    for f in queued:
+        # queued-at-stop futures are specifically CANCELLED (a waiter in
+        # result() raises instead of hanging forever)
         try:
             f.result(timeout=30)
-        except (concurrent.futures.CancelledError, Exception):
-            pass
-        assert f.done() or f.cancelled()
+        except concurrent.futures.CancelledError:
+            continue
+        # the worker may legitimately have batched some in before stop
+        assert f.done()

@@ -26,7 +26,8 @@ class TorchResBlock(nn.Module):
         y = self.ln_1(x)
         x = x + self.attn(y, y, y, need_weights=False, attn_mask=attn_mask)[0]
         y = self.ln_2(x)
-        y = self.mlp.c_proj(self.mlp.c_fc(y) * torch.sigmoid(1.702 * self.mlp.c_fc(y)))
+        h = self.mlp.c_fc(y)
+        y = self.mlp.c_proj(h * torch.sigmoid(1.702 * h))
         return x + y
 
 

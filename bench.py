@@ -35,10 +35,39 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+_PROBE_SRC = """
+import jax, jax.numpy as jnp
+x = jnp.ones((256, 256))
+print("probe_ok", float(jnp.sum(x @ x)), flush=True)
+"""
+
+
+def health_probe(timeout_s: int = 60) -> str | None:
+    """Bounded backend health check; returns an error string or None.
+
+    A killed-mid-op process or a dead tunnel relay makes the first device
+    op block indefinitely (round-4 failure mode: BENCH_r04.json rc=124
+    after burning the driver's whole budget on a hung init, CLAUDE.md
+    hazard notes). Probe in a subprocess under a hard timeout so bench.py
+    either runs or emits a structured diagnostic within ~a minute.
+    """
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return f"tpu unreachable: device probe exceeded {timeout_s}s"
+    if out.returncode != 0 or "probe_ok" not in out.stdout:
+        tail = (out.stderr or out.stdout).strip().splitlines()[-3:]
+        return "tpu probe failed: " + " | ".join(tail)[:300]
+    return None
 
 
 def build_infer(model, params, text):
@@ -173,6 +202,17 @@ def measure_train(rng) -> float:
 
 
 def main():
+    err = health_probe()
+    if err is not None:
+        # Structured diagnostic instead of a driver-budget-eating hang
+        # (VERDICT r4 task 1). rc=0 so the driver records the parsed line.
+        print(json.dumps({
+            "metric": "vit_b16_dense_mask_inference_throughput",
+            "value": None, "unit": "images/sec/chip",
+            "vs_baseline": None, "error": err,
+        }), flush=True)
+        os._exit(0)
+
     from zutis_tpu.core.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -180,12 +220,6 @@ def main():
 
     best = measure_inference(rng)
     baseline = 43.5  # reference ViT-B/16 dense inference img/s
-    print(json.dumps({
-        "metric": "vit_b16_dense_mask_inference_throughput",
-        "value": round(best, 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(best / baseline, 2),
-    }), flush=True)
 
     try:
         its = measure_train(rng)
@@ -195,9 +229,18 @@ def main():
             "unit": "iters/sec (batch 8, 384px, ref config)",
             "vs_baseline": None,
         }), flush=True)
-    except Exception as e:  # the headline metric above is already out
+    except Exception as e:
         print(json.dumps({"metric": "train_step_its_per_sec",
                           "error": str(e)[:200]}), flush=True)
+
+    # headline LAST: the driver's `parsed` field keeps the final JSON line
+    # (BENCH_r03.json recorded the train-step line as `parsed`)
+    print(json.dumps({
+        "metric": "vit_b16_dense_mask_inference_throughput",
+        "value": round(best, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(best / baseline, 2),
+    }), flush=True)
 
     sys.stdout.flush()
     # jax runtime teardown can hang under the tunnelled TPU backend; all

@@ -252,10 +252,13 @@ def main(argv=None):
             len(image_ids) / eval_seconds if eval_seconds > 0 else 0.0
         ),
         # steady-state rate: cold per-bucket XLA compiles (minutes under
-        # the tunnelled runtime) excluded from the denominator
+        # the tunnelled runtime) excluded from the denominator; null when
+        # compile dominated the run and no steady-state window exists
+        # (clamping the denominator reported absurd 1e9+ rates, ADVICE r4)
         "compile_seconds": round(compile_seconds[0], 2),
         "eval_images_per_sec_warm": (
-            len(image_ids) / max(eval_seconds - compile_seconds[0], 1e-9)
+            len(image_ids) / (eval_seconds - compile_seconds[0])
+            if eval_seconds - compile_seconds[0] > 0.5 else None
         ),
     }
     suffix = f"_{args.suffix}" if args.suffix else ""

@@ -116,6 +116,10 @@ class InferenceServer:
         self._queue: "queue.Queue" = queue.Queue()
         self._worker: Optional[threading.Thread] = None
         self._stop = threading.Event()
+        # serialises submit() against stop(): without it a submit that
+        # passes the worker check can enqueue AFTER stop()'s drain, leaving
+        # its Future unresolved forever (ADVICE r4)
+        self._lifecycle = threading.Lock()
 
     # ---------------- synchronous API ----------------
 
@@ -174,28 +178,30 @@ class InferenceServer:
         self._worker.start()
 
     def stop(self) -> None:
-        if self._worker is None:
-            return
-        self._stop.set()
-        self._queue.put(None)  # wake the worker
-        self._worker.join()
-        self._worker = None
-        # drain anything still queued so no submitted Future is left
-        # unresolved forever (a waiter blocked in fut.result() would
-        # otherwise hang after stop() returned)
-        while True:
-            try:
-                item = self._queue.get_nowait()
-            except queue.Empty:
-                break
-            if item is not None:
-                item[1].cancel()
+        with self._lifecycle:
+            if self._worker is None:
+                return
+            self._stop.set()
+            self._queue.put(None)  # wake the worker
+            self._worker.join()
+            self._worker = None
+            # drain anything still queued so no submitted Future is left
+            # unresolved forever (a waiter blocked in fut.result() would
+            # otherwise hang after stop() returned)
+            while True:
+                try:
+                    item = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if item is not None:
+                    item[1].cancel()
 
     def submit(self, image: np.ndarray) -> "Future":
-        assert self._worker is not None, "call start() first"
-        fut: Future = Future()
-        self._queue.put((image, fut))
-        return fut
+        with self._lifecycle:
+            assert self._worker is not None, "call start() first"
+            fut: Future = Future()
+            self._queue.put((image, fut))
+            return fut
 
     def _run(self) -> None:
         while not self._stop.is_set():

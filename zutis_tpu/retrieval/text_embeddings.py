@@ -12,6 +12,7 @@ Runs jitted on device in batches; tokenization is host-side BPE
 {category: embedding} format."""
 from __future__ import annotations
 
+import functools
 import pickle
 from typing import Dict, List, Optional
 
@@ -23,20 +24,15 @@ from zutis_tpu.data.tokenizer import CLIPTokenizer
 from zutis_tpu.retrieval.prompts import PROMPT_TEMPLATES
 
 
-_APPLY_CACHE: dict = {}
-
-
+@functools.lru_cache(maxsize=8)
 def _jitted_apply(text_encoder):
-    """One jitted apply per encoder instance: a fresh jax.jit(lambda) per
+    """One jitted apply per encoder config: a fresh jax.jit(lambda) per
     encode_texts call would retrace+recompile per call — at 919 categories
-    x 85 templates that is 919 identical compiles of the (85, 77) batch."""
-    key = id(text_encoder)
-    if key not in _APPLY_CACHE:
-        _APPLY_CACHE[key] = (
-            text_encoder,  # keep alive so id() can't be recycled
-            jax.jit(lambda p, t: text_encoder.apply({"params": p}, t)),
-        )
-    return _APPLY_CACHE[key][1]
+    x 85 templates that is 919 identical compiles of the (85, 77) batch.
+    flax Modules are frozen/hashable, and equal configs share one compiled
+    apply; the bounded LRU replaces an id()-keyed dict that pinned every
+    encoder instance alive forever (ADVICE r4)."""
+    return jax.jit(lambda p, t: text_encoder.apply({"params": p}, t))
 
 
 def encode_texts(

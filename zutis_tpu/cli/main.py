@@ -133,7 +133,10 @@ def main(argv=None):
                       **model_kwargs)
     else:
         model = build_zutis(cfg.clip_arch, stop_gradient=cfg.stop_gradient,
-                            dtype=dtype, encoder_type=cfg.encoder_type)
+                            dtype=dtype, encoder_type=cfg.encoder_type,
+                            # opt-in encoder token merging (ops/tome.py);
+                            # throughput/accuracy trade measured in PERF.md
+                            tome_r=int(cfg.extras.get("tome_r", 0)))
     text_embeddings = build_text_embeddings(cfg)
 
     val_dataset = get_eval_dataset(

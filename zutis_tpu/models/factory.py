@@ -89,6 +89,7 @@ def build_zutis(
     dtype=jnp.float32,
     attn_impl: str = "auto",
     encoder_type: str = "clip",
+    tome_r: int = 0,
 ) -> ZUTIS:
     base_arch, upsample = normalize_clip_arch(clip_arch)
     common = dict(
@@ -99,6 +100,7 @@ def build_zutis(
         upsample_tokens=upsample,
         dtype=dtype,
         attn_impl=attn_impl,
+        tome_r=tome_r,
     )
     if encoder_type == "dino":
         # comparison arm (reference networks/zutis.py:73-100): DINO ViT-B/16

@@ -100,6 +100,7 @@ class MultiHeadAttention(nn.Module):
         v_in: jnp.ndarray,  # [b, sk, dim]
         bias: Optional[jnp.ndarray] = None,  # additive, broadcast to [b,h,sq,sk]
         kv_mask: Optional[jnp.ndarray] = None,  # [b, sk] valid-key mask
+        return_k: bool = False,  # also return head-mean keys (ToMe metric)
     ) -> jnp.ndarray:
         dt = self.dtype
         q = self.q_proj(q_in, dt)
@@ -109,6 +110,10 @@ class MultiHeadAttention(nn.Module):
             self._split(q), self._split(k), self._split(v), bias=bias,
             kv_mask=kv_mask, impl=self.attn_impl,
         )
+        if return_k:
+            # head-averaged keys: the token-similarity metric ToMe merges on
+            # (ops/tome.py) — reuses this layer's already-projected k
+            return self._finish(out), self._split(k).mean(axis=2)
         return self._finish(out)
 
     def attend_kv(

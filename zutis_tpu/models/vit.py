@@ -32,19 +32,41 @@ class ResidualAttentionBlock(nn.Module):
     attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, bias=None, kv_mask=None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, bias=None, kv_mask=None,
+                 tome_r: int = 0, size=None):
+        """Standard pre-LN block. With tome_r > 0 (and `size` the [b, s]
+        token sizes), r tokens are merged between the attention and the MLP
+        (ops/tome.py) and the return value becomes
+        (x [b, s-r, d], size [b, s-r], mapping [b, s]) — the opt-in
+        token-reduction path; tome_r=0 is byte-identical to the original
+        program."""
         y = LayerNorm32(name="ln_1")(x)
-        x = x + MultiHeadAttention(
+        attn = MultiHeadAttention(
             self.width, self.heads, dtype=self.dtype, attn_impl=self.attn_impl,
             name="attn",
-        )(y, y, y, bias=bias, kv_mask=kv_mask)
+        )
+        if tome_r <= 0:
+            x = x + attn(y, y, y, bias=bias, kv_mask=kv_mask)
+            mapping = None
+        else:
+            from zutis_tpu.ops.tome import proportional_attn_bias, tome_merge
+
+            prop = proportional_attn_bias(size)
+            attn_out, k_mean = attn(
+                y, y, y, bias=prop if bias is None else prop + bias,
+                kv_mask=kv_mask, return_k=True)
+            x = x + attn_out
+            x, size, mapping = tome_merge(x, k_mean, size, tome_r)
         y = LayerNorm32(name="ln_2")(x)
         y = nn.Dense(self.width * 4, dtype=self.dtype, param_dtype=jnp.float32,
                      name="mlp_c_fc")(y)
         y = quick_gelu(y)
         y = nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32,
                      name="mlp_c_proj")(y)
-        return x + y
+        x = x + y
+        if tome_r > 0:
+            return x, size, mapping
+        return x
 
 
 def interpolate_pos_embed(
@@ -101,6 +123,11 @@ class CLIPViT(nn.Module):
     input_resolution: int = 224  # grid the stored pos-emb was trained at
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    # opt-in ToMe token reduction: merge up to tome_r tokens per block
+    # (ops/tome.py); 0 = the exact original program. Dense outputs are
+    # recovered by composing the per-layer mappings and gathering the merged
+    # stream back to every original position after the last block.
+    tome_r: int = 0
 
     def setup(self):
         scale = self.width ** -0.5
@@ -152,9 +179,32 @@ class CLIPViT(nn.Module):
         pe = interpolate_pos_embed(self.positional_embedding, (h_feat, w_feat))
         tokens = tokens + pe.astype(self.dtype)[None]
         tokens = self.ln_pre(tokens)
+        if self.tome_r > 0:
+            return self._run_blocks_tome(tokens) + (h_feat, w_feat)
         for block in self.blocks:
             tokens = block(tokens)
         return tokens, h_feat, w_feat
+
+    def _run_blocks_tome(self, tokens: jnp.ndarray):
+        """ToMe path: progressively merged blocks; returns (dense tokens
+        [b, s0, width] — the merged stream gathered back to every original
+        position, CLS at 0 — ,) so callers see the dense contract."""
+        from zutis_tpu.ops.tome import merge_schedule
+
+        b, s0, _ = tokens.shape
+        size = jnp.ones((b, s0), jnp.float32)
+        assign = jnp.broadcast_to(
+            jnp.arange(s0, dtype=jnp.int32)[None], (b, s0))
+        schedule = merge_schedule(s0, self.tome_r, len(self.blocks))
+        for block, r_eff in zip(self.blocks, schedule):
+            if r_eff <= 0:
+                tokens = block(tokens)
+                continue
+            tokens, size, mapping = block(tokens, tome_r=r_eff, size=size)
+            assign = jnp.take_along_axis(mapping, assign, axis=1)
+        dense = jnp.take_along_axis(
+            tokens, assign[..., None].astype(jnp.int32), axis=1)
+        return (dense,)
 
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, int, int]:
         """Dense path: (patch_tokens [b, h*w, width] after ln_post, h, w)."""
@@ -183,6 +233,11 @@ class CLIPViT(nn.Module):
         Returns ([b, hp*wp, width] padded patch tokens — only the per-sample
         [h_i, w_i] top-left window is meaningful — and the [b, hp*wp]
         validity mask)."""
+        assert self.tome_r == 0, (
+            "ToMe token merging supports the fixed-resolution dense path "
+            "only; padded variable-resolution batches would merge padding "
+            "tokens into valid ones"
+        )
         from zutis_tpu.ops.dynamic_shapes import (
             interpolate_pos_embed_batched,
             token_valid_mask,

@@ -105,8 +105,15 @@ class ZUTIS(nn.Module):
     upsample_tokens: bool = True  # ViT / non-dilated RN: x2 token upsample
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    # opt-in encoder token merging (ops/tome.py; ViT family, dense path
+    # only) — tokens merged per encoder block; 0 = exact original program
+    tome_r: int = 0
 
     def setup(self):
+        assert self.tome_r == 0 or self.encoder_family == "vit", (
+            "ToMe token merging is implemented for the CLIP ViT encoder "
+            "family only"
+        )
         if self.encoder_family == "rn":
             assert self.width == self.rn_width * 32, (
                 "RN encoders feed the decoder at their stage-4 embed dim: "
@@ -154,6 +161,7 @@ class ZUTIS(nn.Module):
                 input_resolution=self.input_resolution,
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
+                tome_r=self.tome_r,
                 name="encoder",
             )
         self.ffn1 = MLP(256, self.width, 3, dtype=self.dtype, name="ffn1")

@@ -82,8 +82,10 @@ def _softmax_weights(logits, scale, bias, kv_mask, compute_dtype):
     # or more scaled logits in a row exceed 80 the clamp erases their
     # relative order (both map to 80 -> even split). ZUTIS/CLIP stay far
     # inside this: q/k come out of LN-scaled projections (scaled logits
-    # observed O(10)) and all biases are non-positive masks. Callers with
-    # unbounded logits must use f32 compute, which takes the exact path.
+    # observed O(10)) and biases are either non-positive masks or ToMe's
+    # proportional log-size bias, which is positive but bounded by
+    # log(n_tokens) ~ 6.4 (ops/tome.py). Callers with unbounded logits
+    # must use f32 compute, which takes the exact path.
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
     logits = jnp.minimum(logits, 80.0)

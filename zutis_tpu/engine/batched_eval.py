@@ -209,7 +209,8 @@ def make_instance_step(
     semantic_mode: str = "map",  # "map" | "confusion" | "none"
     n_classes: int = 0,  # required for semantic_mode="confusion"
 ):
-    """jitted: -> dict(masks [B,Q,Hb,Wb] bool, rle {...}, host_blob [N]
+    """jitted: -> dict(masks [B,Q,Hb,Wb] bool, rle {...}, host_blob
+    [B, 4+per_image]
     int32, scores, category_ids, keep, + the semantic output) — reference
     predict("instance") semantics (networks/zutis.py:374-470) on each valid
     window. Hosts fetch `host_blob` ONCE (ops/rle_device.py pack/unpack —

@@ -12,7 +12,10 @@ back pixel-exactly (index_dataset.py:219-224). Existing files are reused.
 TPU-first: SelfMask runs batched and jitted on device at a fixed padded
 resolution. The bilateral refinement runs on host by default (scipy CG, the
 reference's regime) or fully on device with ZUTIS_TPU_BILATERAL=device
-(ops/bilateral_device.py: jittable grid CG + flood-fill components)."""
+(ops/bilateral_device.py: jittable grid CG + flood-fill components). The
+host default is chosen BY MEASUREMENT (BILATERAL_QUALIFY.json: scipy
+408.8 ms/image vs device 2232.5 ms/image on the real chip at 512x640 —
+the solve is latency-bound VPU work, not MXU work)."""
 from __future__ import annotations
 
 import json

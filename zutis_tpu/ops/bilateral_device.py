@@ -24,6 +24,13 @@ utils/bilateral_solver.py:127-195), re-designed for XLA's static shapes:
 tests/test_bilateral_device.py checks the whole pipeline against the host
 oracle. Runs under jit on TPU or CPU; used by data/pseudo_masks.py when
 ZUTIS_TPU_BILATERAL=device.
+
+Hardware-qualified round 5 (BILATERAL_QUALIFY.json, tools/
+bilateral_qualify.py, real v5e at the 512x640 pseudo-labeling shape):
+host scipy 408.8 ms/image vs device 2232.5 ms/image (mask IoU agreement
+0.96 mean over 8 cases) — the gather/scatter-heavy grid ops and the
+serial 25-iteration CG chain are VPU/latency-bound, not MXU work, so the
+TPU loses to scipy by 5.5x and the host path stays the measured default.
 """
 from __future__ import annotations
 

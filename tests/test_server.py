@@ -88,6 +88,47 @@ def test_uint8_transport_matches_float_path(server_parts):
         assert (g["semantic"] != w["semantic"]).mean() < 5e-3
 
 
+def test_mesh_sharded_server_matches_and_collective_free(server_parts):
+    """mesh= shards each server batch over the data axis (VERDICT r4 task
+    7): outputs must match the single-device server (semantic/masks/keep/
+    ids bit-equal; scores tolerance-checked — per-shard compilation changes
+    reduction order), and the compiled step must contain ZERO collectives
+    at every DP width: replicated params + batch-sharded images need no
+    cross-device traffic, so serving latency scales with the batch, never
+    with the mesh."""
+    from zutis_tpu.parallel.mesh import create_mesh, shard_batch
+
+    model, params, text, images = server_parts
+    imgs8 = (images + images)[:8]
+    srv = InferenceServer(model, params, text, image_size=32, batch_size=8,
+                          threshold=0.4)
+    want = srv.infer(imgs8)
+
+    collectives = ("all-reduce", "all-gather", "collective-permute",
+                   "all-to-all", "reduce-scatter")
+    for dp in (2, 8):
+        mesh = create_mesh({"data": dp}, devices=jax.devices()[:dp])
+        srv_m = InferenceServer(model, params, text, image_size=32,
+                                batch_size=8, threshold=0.4, mesh=mesh)
+        with mesh:
+            got = srv_m.infer(imgs8)
+            batch = shard_batch(
+                {"x": jnp.asarray(np.stack(imgs8))}, mesh)["x"]
+            hlo = srv_m._step.lower(
+                srv_m._params, srv_m._text, batch).compile().as_text()
+        found = {c: hlo.count(c) for c in collectives if c in hlo}
+        assert not found, f"DP={dp}: serving step has collectives {found}"
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g["semantic"], w["semantic"])
+            assert len(g["instances"]) == len(w["instances"])
+            for gi, wi in zip(g["instances"], w["instances"]):
+                assert gi["category_id"] == wi["category_id"]
+                np.testing.assert_allclose(
+                    gi["score"], wi["score"], rtol=0, atol=1e-5)
+                if "segmentation" in gi:
+                    assert gi["segmentation"] == wi["segmentation"]
+
+
 def test_stop_resolves_queued_futures(server_parts):
     """stop() must not strand submitted Futures: anything still queued when
     the worker exits gets cancelled so a waiter blocked in fut.result()

@@ -16,19 +16,24 @@ inference program into a request/response service:
   - host-side finishing RLE-encodes kept masks through the C++ batch codec
     (native/rle.cc) when available, the numpy codec otherwise;
   - `mesh=` shards each batch over the `data` axis so one server process
-    drives a whole slice; the program is identical, GSPMD inserts the
-    collectives.
+    drives a whole slice; the compiled step is COLLECTIVE-FREE at any DP
+    width (replicated params + batch-sharded images need no cross-device
+    traffic — asserted in tests/test_server.py's mesh test), so serving
+    latency scales with the batch, never with the mesh.
 
 Synchronous `infer(images)` and future-based `submit(image)` APIs;
-tests/test_server.py checks batching, ordering, and parity with direct
-inference.
+tests/test_server.py checks batching, ordering, parity with direct
+inference, and the mesh-sharded mode.
 
-Throughput note: the compiled program is the same ~500 img/s/chip step
-bench.py measures; end-to-end serving adds host->device input transfer
-(~113 MB per batch-64 at 384px float32). On TPU-VM-attached hosts that is
-PCIe-negligible; consider uint8 transport + on-device normalisation if the
-ingest link is the bottleneck (the development tunnel here moves ~30 MB/s,
-which caps this path at ~16 img/s and says nothing about real deployments).
+Throughput (MEASURED round 5, tools/server_bench.py -> SERVER_BENCH.json,
+real v5e, batch 16 at 384px bf16): the server's own compiled step runs
+641.5 img/s (float32 in) / 643.6 img/s (uint8 in) — bench-rate, the
+instance decode+NMS is free on device. End-to-end submit()->result()
+through the development tunnel is transport-bound: 16.4 img/s at float32
+(1.77 MB/image) vs 35.2 img/s with `uint8_transport=True` (0.44 MB/image +
+on-device normalisation). The tunnel moves ~30 MB/s and says nothing about
+real deployments; on a TPU-VM-attached host the PCIe ingest (~16 GB/s)
+makes e2e ~= device rate.
 """
 from __future__ import annotations
 

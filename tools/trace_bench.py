@@ -1,7 +1,7 @@
 """Capture a jax.profiler device trace of the bench forward and print the top
 ops by self-time (parsed from the xplane with tensorboard_plugin_profile).
 
-Usage: timeout 600 python tools/trace_bench.py [batch] [outdir]
+Usage: timeout 600 python tools/trace_bench.py [batch] [outdir] [tome_r]
 """
 from __future__ import annotations
 
@@ -11,7 +11,7 @@ import sys
 import numpy as np
 
 
-def capture(batch: int, outdir: str) -> None:
+def capture(batch: int, outdir: str, tome_r: int = 0) -> None:
     import jax
     import jax.numpy as jnp
     from zutis_tpu.core.cache import enable_compilation_cache
@@ -22,7 +22,7 @@ def capture(batch: int, outdir: str) -> None:
     model = ZUTIS(
         width=768, encoder_layers=12, encoder_heads=12, patch_size=16,
         text_dim=512, n_queries=100, n_decoder_layers=6, n_heads=8,
-        input_resolution=224, dtype=jnp.bfloat16,
+        input_resolution=224, dtype=jnp.bfloat16, tome_r=tome_r,
     )
     rng = np.random.RandomState(0)
     init_x = jnp.asarray(rng.randn(1, 3, image_size, image_size)
@@ -77,5 +77,6 @@ def report(outdir: str, top: int = 40) -> None:
 if __name__ == "__main__":
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/jax_trace"
-    capture(batch, outdir)
+    tome_r = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    capture(batch, outdir, tome_r)
     report(outdir)

@@ -40,7 +40,8 @@ sys.path.insert(0, ".")
 sys.path.insert(0, os.path.dirname(__file__))
 
 
-def dense_eval(model_kwargs, params, text, dir_val, tome_r, n_categories):
+def dense_eval(model_kwargs, params, text, dir_val, tome_r, n_categories,
+               decoder_pool=1):
     import jax
     import jax.numpy as jnp
 
@@ -55,7 +56,8 @@ def dense_eval(model_kwargs, params, text, dir_val, tome_r, n_categories):
         predict_semantic,
     )
 
-    model = ZUTIS(dtype=jnp.bfloat16, tome_r=tome_r, **model_kwargs)
+    model = ZUTIS(dtype=jnp.bfloat16, tome_r=tome_r,
+                  decoder_pool=decoder_pool, **model_kwargs)
     dataset = get_eval_dataset("coco2017", dir_val, split="val")
     meter = RunningScore(n_categories)
     preds = []
@@ -88,7 +90,8 @@ def dense_eval(model_kwargs, params, text, dir_val, tome_r, n_categories):
         gt = json.load(f)
     coco = COCOEvaluator(gt).evaluate(preds) if preds else {"AP": 0.0,
                                                             "AP50": 0.0}
-    return {"tome_r": tome_r, "mIoU": round(scores["Mean IoU"], 4),
+    return {"tome_r": tome_r, "decoder_pool": decoder_pool,
+            "mIoU": round(scores["Mean IoU"], 4),
             "pixel_acc": round(scores["Pixel Acc"], 4),
             "AP": round(coco["AP"], 4), "AP50": round(coco["AP50"], 4),
             "n_preds": len(preds)}
@@ -98,6 +101,9 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-iters", type=int, default=400)
     ap.add_argument("--rs", type=str, default="0,2,4,6,8")
+    # decoder-memory pooling sweep (models/zutis.py decoder_pool); the
+    # same checkpoint serves every (r, pool) — neither lever adds params
+    ap.add_argument("--pools", type=str, default="1")
     ap.add_argument("--out", type=str, default="TOME_QUALIFY.json")
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args(argv)
@@ -172,10 +178,11 @@ def main(argv=None):
         text = jnp.asarray(emb)
         rows = []
         for r in [int(r) for r in args.rs.split(",")]:
-            row = dense_eval(model_kwargs, params, text, dir_val, r,
-                             len(CATEGORIES))
-            rows.append(row)
-            print(json.dumps(row), flush=True)
+            for pool in [int(p) for p in args.pools.split(",")]:
+                row = dense_eval(model_kwargs, params, text, dir_val, r,
+                                 len(CATEGORIES), decoder_pool=pool)
+                rows.append(row)
+                print(json.dumps(row), flush=True)
 
         import jax
 

@@ -134,9 +134,12 @@ def main(argv=None):
     else:
         model = build_zutis(cfg.clip_arch, stop_gradient=cfg.stop_gradient,
                             dtype=dtype, encoder_type=cfg.encoder_type,
-                            # opt-in encoder token merging (ops/tome.py);
-                            # throughput/accuracy trade measured in PERF.md
-                            tome_r=int(cfg.extras.get("tome_r", 0)))
+                            # opt-in throughput levers, both measured in
+                            # PERF.md: encoder token merging (ops/tome.py)
+                            # and decoder-memory pooling (models/zutis.py)
+                            tome_r=int(cfg.extras.get("tome_r", 0)),
+                            decoder_pool=int(
+                                cfg.extras.get("decoder_pool", 1)))
     text_embeddings = build_text_embeddings(cfg)
 
     val_dataset = get_eval_dataset(

@@ -90,6 +90,7 @@ def build_zutis(
     attn_impl: str = "auto",
     encoder_type: str = "clip",
     tome_r: int = 0,
+    decoder_pool: int = 1,
 ) -> ZUTIS:
     base_arch, upsample = normalize_clip_arch(clip_arch)
     common = dict(
@@ -101,6 +102,7 @@ def build_zutis(
         dtype=dtype,
         attn_impl=attn_impl,
         tome_r=tome_r,
+        decoder_pool=decoder_pool,
     )
     if encoder_type == "dino":
         # comparison arm (reference networks/zutis.py:73-100): DINO ViT-B/16

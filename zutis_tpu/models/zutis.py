@@ -108,12 +108,25 @@ class ZUTIS(nn.Module):
     # opt-in encoder token merging (ops/tome.py; ViT family, dense path
     # only) — tokens merged per encoder block; 0 = exact original program
     tome_r: int = 0
+    # opt-in decoder-memory pooling (dense path only): cross-attention
+    # reads a p x p average-pooled memory grid (memory AND sine pos pooled
+    # identically) while the mask-proposal einsum keeps the DENSE memory,
+    # so proposals stay full-resolution. Pooling is mathematically exact
+    # when each cell's tokens are identical (uniform cell sizes cancel in
+    # softmax — no proportional-attention bias needed, unlike ToMe); the
+    # real-image cost is measured, not assumed (PERF.md round-5 decoder-
+    # memory table). Targets the ~20 ms/iter of decoder K/V projection +
+    # cross-attention over the x2-upsampled 2304-token memory that ToMe
+    # does not touch (reference networks/zutis.py:488-513 hot path).
+    # 1 = exact original program.
+    decoder_pool: int = 1
 
     def setup(self):
         assert self.tome_r == 0 or self.encoder_family == "vit", (
             "ToMe token merging is implemented for the CLIP ViT encoder "
             "family only"
         )
+        assert self.decoder_pool >= 1, self.decoder_pool
         if self.encoder_family == "rn":
             assert self.width == self.rn_width * 32, (
                 "RN encoders feed the decoder at their stage-4 embed dim: "
@@ -218,7 +231,23 @@ class ZUTIS(nn.Module):
         )
         tgt = jnp.zeros_like(query_pos)
 
-        queries = self.decoder(tgt, memory, pos=pos, query_pos=query_pos)
+        if self.decoder_pool > 1:
+            p = self.decoder_pool
+            assert h_feat % p == 0 and w_feat % p == 0, (
+                f"decoder_pool={p} must divide the (post-upsample) token "
+                f"grid {h_feat}x{w_feat}"
+            )
+
+            def _pool(t):
+                g = t.reshape(b, h_feat // p, p, w_feat // p, p, self.width)
+                g = jnp.mean(g.astype(jnp.float32), axis=(2, 4))
+                return g.astype(t.dtype).reshape(b, -1, self.width)
+
+            mem_att, pos_att = _pool(memory), _pool(pos)
+        else:
+            mem_att, pos_att = memory, pos
+
+        queries = self.decoder(tgt, mem_att, pos=pos_att, query_pos=query_pos)
         if inference:
             queries = queries[-1:]  # last decoder layer only
         queries = queries.transpose(1, 0, 2, 3)  # [b, L, Q, d]
@@ -292,6 +321,11 @@ class ZUTIS(nn.Module):
         assert self.encoder_family == "vit", (
             "forward_padded is implemented for the CLIP ViT family; RN "
             "(overlapping convs) and DINO models evaluate per-image"
+        )
+        assert self.decoder_pool == 1, (
+            "decoder_pool is a dense-path lever (like tome_r); the padded "
+            "batched evaluator would need validity-weighted pooling plus a "
+            "log-count attention bias for partial boundary cells"
         )
         from zutis_tpu.ops.dynamic_shapes import (
             replicate_edges,

@@ -11,7 +11,11 @@ ToMe (the other measured throughput lever):
   * mask proposals keep the DENSE grid resolution — only cross-attention
     reads the pooled memory (reference networks/zutis.py:510-526 keeps the
     proposal einsum on the full x2-upsampled memory);
-  * gradients flow; composes with tome_r; rejected on the padded path.
+  * gradients flow; composes with tome_r;
+  * the padded batched-eval path pools with validity weights plus a
+    +log(valid-count) attention bias: a full bucket reproduces the dense
+    pooled program, and partial boundary cells match masked dense
+    attention analytically.
 """
 import jax
 import jax.numpy as jnp
@@ -128,12 +132,71 @@ def test_pool_must_divide_grid():
         bad.init(jax.random.PRNGKey(0), x)
 
 
-def test_forward_padded_rejects_pool():
+def test_forward_padded_full_bucket_matches_dense_pool():
+    """A sample that fills its bucket runs the padded pooled program with
+    every cell fully valid — the +log(p^2) bias is uniform (softmax-
+    invariant) and validity-weighted pooling reduces to plain pooling, so
+    the result must match the dense pooled `__call__`."""
     rng = np.random.RandomState(6)
-    x = jnp.asarray(rng.randn(1, 3, 32, 32).astype(np.float32))
+    x = jnp.asarray(rng.randn(2, 3, 64, 64).astype(np.float32))
     pooled = _tiny(2)
     params = _tiny().init(jax.random.PRNGKey(0), x)["params"]
-    grid = jnp.full((1, 2), 2, jnp.int32)
-    with pytest.raises(AssertionError, match="dense-path"):
-        pooled.apply({"params": params}, x, grid,
-                     method=ZUTIS.forward_padded)
+    grid = jnp.full((2, 2), 4, jnp.int32)  # native == bucket (4x4 tokens)
+    out_p = pooled.apply({"params": params}, x, grid,
+                         method=ZUTIS.forward_padded)
+    out_d = pooled.apply({"params": params}, x, inference=True)
+    np.testing.assert_allclose(
+        np.asarray(out_p["mask_proposals"][:, -1]),
+        np.asarray(out_d["mask_proposals"][:, -1]), atol=2e-4)
+
+
+def test_padded_pool_partial_cells_match_masked_dense():
+    """Decoder-level analytic identity for PARTIAL cells: dense masked
+    attention over cells holding c identical valid tokens == pooled
+    attention with kv-mask (c>0) and +log(c) bias."""
+    rng = np.random.RandomState(7)
+    b, hs, ws, p, d = 2, 4, 4, 2, 32
+    ncell = (hs // p) * (ws // p)
+    small = rng.randn(b, ncell, d).astype(np.float32)
+    pos_small = rng.randn(b, ncell, d).astype(np.float32)
+    # per-cell valid counts in [0, p^2]; keep at least one non-empty cell
+    counts = rng.randint(0, p * p + 1, (b, ncell))
+    counts[:, 0] = np.maximum(counts[:, 0], 1)
+
+    # dense memory: replicate each cell's token; validity marks the first
+    # `count` copies of each cell valid
+    mem_dense = np.zeros((b, hs * ws, d), np.float32)
+    pos_dense = np.zeros((b, hs * ws, d), np.float32)
+    valid = np.zeros((b, hs * ws), bool)
+    cell_of = np.zeros((hs * ws,), np.int32)
+    slot_of = np.zeros((hs * ws,), np.int32)
+    for yy in range(hs):
+        for xx in range(ws):
+            i = yy * ws + xx
+            cell_of[i] = (yy // p) * (ws // p) + (xx // p)
+            slot_of[i] = (yy % p) * p + (xx % p)
+    for bi in range(b):
+        for i in range(hs * ws):
+            c = cell_of[i]
+            mem_dense[bi, i] = small[bi, c]
+            pos_dense[bi, i] = pos_small[bi, c]
+            valid[bi, i] = slot_of[i] < counts[bi, c]
+
+    dec = QueryDecoder(d_model=d, heads=4, num_layers=2)
+    tgt = jnp.zeros((b, 5, d))
+    qp = jnp.asarray(rng.randn(b, 5, d).astype(np.float32))
+    params = dec.init(jax.random.PRNGKey(0), tgt,
+                      jnp.asarray(mem_dense))["params"]
+    out_dense = dec.apply(
+        {"params": params}, tgt, jnp.asarray(mem_dense),
+        pos=jnp.asarray(pos_dense), query_pos=qp,
+        memory_mask=jnp.asarray(valid))
+    out_pooled = dec.apply(
+        {"params": params}, tgt, jnp.asarray(small),
+        pos=jnp.asarray(pos_small), query_pos=qp,
+        memory_mask=jnp.asarray(counts > 0),
+        memory_bias=jnp.asarray(
+            np.log(np.maximum(counts, 1))[:, None, None, :]
+            .astype(np.float32)))
+    np.testing.assert_allclose(np.asarray(out_pooled), np.asarray(out_dense),
+                               rtol=2e-5, atol=2e-5)

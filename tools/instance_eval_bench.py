@@ -29,6 +29,10 @@ def main() -> None:
                          "fetch + host assembly of batch N with device "
                          "execution of batch N+1 (engine.batched_eval."
                          "pipelined)")
+    ap.add_argument("--decoder_pool", type=int, default=1,
+                    help="opt-in decoder-memory pooling (models/zutis.py): "
+                         "the padded path pools with validity weights + "
+                         "log-count bias")
     args = ap.parse_args()
 
     import jax
@@ -47,6 +51,7 @@ def main() -> None:
         width=768, encoder_layers=12, encoder_heads=12, patch_size=16,
         text_dim=512, n_queries=100, n_decoder_layers=6, n_heads=8,
         input_resolution=224, dtype=jnp.bfloat16,
+        decoder_pool=args.decoder_pool,
     )
     rng = np.random.RandomState(0)
     n_cat = 81  # COCO width

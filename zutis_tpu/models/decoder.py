@@ -58,6 +58,7 @@ class DecoderLayer(nn.Module):
         memory: jnp.ndarray,  # [b, s, d]
         query_pos: Optional[jnp.ndarray],  # [b, q, d]
         memory_mask: Optional[jnp.ndarray] = None,  # [b, s] valid-key mask
+        memory_bias: Optional[jnp.ndarray] = None,  # additive [b,1,1,s]
     ) -> jnp.ndarray:
         def add(t, p):
             return t if p is None else t + p
@@ -71,6 +72,7 @@ class DecoderLayer(nn.Module):
             self.cross_attn.k_proj(mem_pos, self.dtype),
             self.cross_attn.v_proj(memory, self.dtype),
             kv_mask=memory_mask,
+            bias=memory_bias,
         )
         tgt = self.norm2(tgt)
 
@@ -108,15 +110,22 @@ class QueryDecoder(nn.Module):
         pos: Optional[jnp.ndarray] = None,
         query_pos: Optional[jnp.ndarray] = None,
         memory_mask: Optional[jnp.ndarray] = None,
+        memory_bias: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Returns [n_layers, b, q, d] if return_intermediate else [1, b, q, d];
-        every slice is passed through the shared final norm."""
+        every slice is passed through the shared final norm.
+
+        `memory_bias` is an additive attention bias broadcast to
+        [b, h, q, s] — the pooled padded path passes log(valid-count) per
+        pooled key so partial boundary cells attract softmax mass
+        proportional to their valid-token count (models/zutis.py
+        forward_padded decoder_pool)."""
         mem_pos = memory if pos is None else memory + pos
         outputs = []
         x = tgt
         for layer in self.layers:
             x = layer(x, mem_pos, memory, query_pos,
-                      memory_mask=memory_mask)
+                      memory_mask=memory_mask, memory_bias=memory_bias)
             if self.return_intermediate:
                 outputs.append(x)
         if not self.return_intermediate:

@@ -122,11 +122,12 @@ class MultiHeadAttention(nn.Module):
         k: jnp.ndarray,  # [b, sk, dim] ALREADY projected by this layer's k_proj
         v: jnp.ndarray,  # [b, sk, dim] ALREADY projected by this layer's v_proj
         kv_mask: Optional[jnp.ndarray] = None,
+        bias: Optional[jnp.ndarray] = None,  # additive, broadcast [b,h,sq,sk]
     ) -> jnp.ndarray:
         q = self.q_proj(q_in, self.dtype)
         out = dot_product_attention_bshd(
-            self._split(q), self._split(k), self._split(v), kv_mask=kv_mask,
-            impl=self.attn_impl,
+            self._split(q), self._split(k), self._split(v), bias=bias,
+            kv_mask=kv_mask, impl=self.attn_impl,
         )
         return self._finish(out)
 

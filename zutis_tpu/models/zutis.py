@@ -108,12 +108,13 @@ class ZUTIS(nn.Module):
     # opt-in encoder token merging (ops/tome.py; ViT family, dense path
     # only) — tokens merged per encoder block; 0 = exact original program
     tome_r: int = 0
-    # opt-in decoder-memory pooling (dense path only): cross-attention
-    # reads a p x p average-pooled memory grid (memory AND sine pos pooled
-    # identically) while the mask-proposal einsum keeps the DENSE memory,
-    # so proposals stay full-resolution. Pooling is mathematically exact
-    # when each cell's tokens are identical (uniform cell sizes cancel in
-    # softmax — no proportional-attention bias needed, unlike ToMe); the
+    # opt-in decoder-memory pooling (dense and padded paths): cross-
+    # attention reads a p x p average-pooled memory grid (memory AND sine
+    # pos pooled identically) while the mask-proposal einsum keeps the
+    # DENSE memory, so proposals stay full-resolution. Pooling is
+    # mathematically exact when each cell's tokens are identical (uniform
+    # cell sizes cancel in softmax; partial boundary cells on the padded
+    # path carry a +log(valid-count) bias for the same identity); the
     # real-image cost is measured, not assumed (PERF.md round-5 decoder-
     # memory table). Targets the ~20 ms/iter of decoder K/V projection +
     # cross-attention over the x2-upsampled 2304-token memory that ToMe
@@ -322,11 +323,6 @@ class ZUTIS(nn.Module):
             "forward_padded is implemented for the CLIP ViT family; RN "
             "(overlapping convs) and DINO models evaluate per-image"
         )
-        assert self.decoder_pool == 1, (
-            "decoder_pool is a dense-path lever (like tome_r); the padded "
-            "batched evaluator would need validity-weighted pooling plus a "
-            "log-count attention bias for partial boundary cells"
-        )
         from zutis_tpu.ops.dynamic_shapes import (
             replicate_edges,
             sine_pos_embed_dynamic,
@@ -364,9 +360,42 @@ class ZUTIS(nn.Module):
             (b, self.n_queries, self.width),
         )
         tgt = jnp.zeros_like(query_pos)
-        queries = self.decoder(
-            tgt, memory, pos=pos, query_pos=query_pos, memory_mask=valid
-        )
+        if self.decoder_pool > 1:
+            # Validity-weighted pooling: each pooled key averages only the
+            # VALID tokens in its p x p cell and carries a +log(count)
+            # attention bias, so a cell of c identical valid tokens attracts
+            # exactly c dense tokens' softmax mass (the ToMe proportional-
+            # attention identity, ops/tome.py; exactness pinned in
+            # tests/test_decoder_pool.py). Cells with no valid token are
+            # masked out. Cell alignment follows the PADDED grid origin, so
+            # this is the pooled program's own contract — a native-grid
+            # run at a non-divisible resolution has no pooled counterpart.
+            p = self.decoder_pool
+            assert hp % p == 0 and wp % p == 0, (
+                f"decoder_pool={p} must divide the bucket token grid "
+                f"{hp}x{wp}"
+            )
+            v32 = valid.reshape(b, hp // p, p, wp // p, p).astype(jnp.float32)
+            count = jnp.sum(v32, axis=(2, 4))  # [b, hp/p, wp/p]
+            denom = jnp.maximum(count, 1.0)[..., None]
+
+            def _pool_valid(t):
+                g = t.reshape(b, hp // p, p, wp // p, p, self.width)
+                g = g.astype(jnp.float32) * v32[..., None]
+                s = jnp.sum(g, axis=(2, 4)) / denom
+                return s.astype(t.dtype).reshape(b, -1, self.width)
+
+            queries = self.decoder(
+                tgt, _pool_valid(memory), pos=_pool_valid(pos),
+                query_pos=query_pos,
+                memory_mask=(count > 0).reshape(b, -1),
+                memory_bias=jnp.log(jnp.maximum(count, 1.0)).reshape(
+                    b, 1, 1, -1),
+            )
+        else:
+            queries = self.decoder(
+                tgt, memory, pos=pos, query_pos=query_pos, memory_mask=valid
+            )
         if inference:
             queries = queries[-1:]
         queries = queries.transpose(1, 0, 2, 3)

@@ -29,7 +29,7 @@ sys.path.insert(0, ".")
 
 
 def measure_config(rng, tome_r: int, pool: int, batches,
-                   image_size=384, n_cat=919):
+                   image_size=384, n_cat=919, patch_size=16):
     import jax
     import jax.numpy as jnp
 
@@ -37,10 +37,10 @@ def measure_config(rng, tome_r: int, pool: int, batches,
     from zutis_tpu.models import ZUTIS
 
     model = ZUTIS(
-        width=768, encoder_layers=12, encoder_heads=12, patch_size=16,
-        text_dim=512, n_queries=100, n_decoder_layers=6, n_heads=8,
-        input_resolution=224, dtype=jnp.bfloat16, tome_r=tome_r,
-        decoder_pool=pool,
+        width=768, encoder_layers=12, encoder_heads=12,
+        patch_size=patch_size, text_dim=512, n_queries=100,
+        n_decoder_layers=6, n_heads=8, input_resolution=224,
+        dtype=jnp.bfloat16, tome_r=tome_r, decoder_pool=pool,
     )
     init_x = jnp.asarray(rng.randn(1, 3, image_size, image_size)
                          .astype(np.float32))
@@ -83,6 +83,9 @@ def main(argv=None):
                     default="0:1,0:2,0:4,40:1,40:2,40:4")
     ap.add_argument("--batches", type=str, default="64,96,48")
     ap.add_argument("--out", type=str, default="DECMEM_BENCH.json")
+    # ViT-B/32 = the reference's OTHER published arch (76.9 img/s baseline,
+    # project page ImageNet-S table): patch 32, 145 tokens at 384px
+    ap.add_argument("--arch", choices=["b16", "b32"], default="b16")
     args = ap.parse_args(argv)
 
     from zutis_tpu.core.cache import enable_compilation_cache
@@ -94,20 +97,24 @@ def main(argv=None):
     base_rate = None
     for spec in args.configs.split(","):
         r, pool = (int(v) for v in spec.split(":"))
-        rate, bb = measure_config(rng, r, pool, batches)
+        rate, bb = measure_config(
+            rng, r, pool, batches,
+            patch_size=32 if args.arch == "b32" else 16)
         if r == 0 and pool == 1:
             base_rate = rate
+        grid = (384 // (32 if args.arch == "b32" else 16)) * 2
         rows.append({
             "tome_r": r,
             "decoder_pool": pool,
-            "memory_tokens": 2304 // (pool * pool),
+            "memory_tokens": grid * grid // (pool * pool),
             "img_per_sec": round(rate, 1),
             "best_batch": bb,
             "vs_base": round(rate / base_rate, 3) if base_rate else None,
         })
         print(json.dumps(rows[-1]), flush=True)
     with open(args.out, "w") as f:
-        json.dump({"image_size": 384, "arch": "ViT-B/16",
+        json.dump({"image_size": 384,
+                   "arch": "ViT-B/32" if args.arch == "b32" else "ViT-B/16",
                    "note": "bench.py discipline: batch sweep per config, "
                            "3 timed windows best-of, forced fetches, "
                            "full-window warm-up. memory_tokens is the "

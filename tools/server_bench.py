@@ -27,7 +27,8 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def build(tiny: bool, batch_size: int, uint8: bool):
+def build(tiny: bool, batch_size: int, uint8: bool, tome_r: int = 0,
+          decoder_pool: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -44,7 +45,8 @@ def build(tiny: bool, batch_size: int, uint8: bool):
         model = ZUTIS(width=768, encoder_layers=12, encoder_heads=12,
                       patch_size=16, text_dim=512, n_queries=100,
                       n_decoder_layers=6, n_heads=8, input_resolution=224,
-                      dtype=jnp.bfloat16)
+                      dtype=jnp.bfloat16, tome_r=tome_r,
+                      decoder_pool=decoder_pool)
     rng = np.random.RandomState(0)
     x0 = jnp.asarray(rng.randn(1, 3, size, size).astype(np.float32))
     params = model.init(jax.random.PRNGKey(0), x0)["params"]
@@ -112,6 +114,9 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--n", type=int, default=96)
     ap.add_argument("--out", type=str, default="SERVER_BENCH.json")
+    # opt-in throughput levers (full-size model only; PERF.md round-5)
+    ap.add_argument("--tome_r", type=int, default=0)
+    ap.add_argument("--decoder_pool", type=int, default=1)
     args = ap.parse_args(argv)
 
     import jax
@@ -121,7 +126,9 @@ def main(argv=None):
     enable_compilation_cache()
     rows = []
     for uint8 in (False, True):
-        srv, size, rng = build(args.tiny, args.batch, uint8)
+        srv, size, rng = build(args.tiny, args.batch, uint8,
+                               tome_r=args.tome_r,
+                               decoder_pool=args.decoder_pool)
         dev = device_rate(srv, size, rng, args.batch, uint8)
         e2e, n_inst = e2e_rate(srv, size, rng, args.n, uint8)
         rows.append({
@@ -134,7 +141,9 @@ def main(argv=None):
         })
         print(json.dumps(rows[-1]), flush=True)
     report = {"backend": jax.default_backend(),
-              "batch_size": args.batch, "tiny": args.tiny, "rows": rows}
+              "batch_size": args.batch, "tiny": args.tiny,
+              "tome_r": args.tome_r, "decoder_pool": args.decoder_pool,
+              "rows": rows}
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
     print(f"wrote {args.out}", flush=True)

@@ -30,6 +30,10 @@ def main() -> None:
     ap.add_argument("--iter-log", type=int, default=0,
                     help="log every N steps inside the timed window "
                          "(0 = never); exercises the drain-at-log path")
+    # opt-in throughput levers (models/zutis.py; gradients flow through
+    # both — tests/test_tome.py, tests/test_decoder_pool.py)
+    ap.add_argument("--tome_r", type=int, default=0)
+    ap.add_argument("--decoder_pool", type=int, default=1)
     args = ap.parse_args()
 
     import jax
@@ -47,7 +51,8 @@ def main() -> None:
     model = ZUTIS(
         width=768, encoder_layers=12, encoder_heads=12, patch_size=16,
         text_dim=512, n_queries=100, n_decoder_layers=6, n_heads=8,
-        input_resolution=224, dtype=jnp.bfloat16,
+        input_resolution=224, dtype=jnp.bfloat16, tome_r=args.tome_r,
+        decoder_pool=args.decoder_pool,
     )
     init_x = jnp.asarray(rng.randn(1, 3, image_size, image_size)
                          .astype(np.float32))

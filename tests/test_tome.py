@@ -161,12 +161,44 @@ def test_tome_gradients_flow():
     assert np.isfinite(g_attn).all() and np.abs(g_attn).max() > 0
 
 
-def test_forward_padded_rejects_tome():
+def test_forward_padded_tome_full_bucket_matches_dense():
+    """A sample that fills its bucket runs the padded ToMe program with
+    every token size-1 valid — the padding-aware scoring is inert and the
+    result must match the dense ToMe path (up to the padded program's
+    usual fp reassociation)."""
     rng = np.random.RandomState(6)
-    x = jnp.asarray(rng.randn(1, 3, 32, 32).astype(np.float32))
-    tome = _tiny(2)
-    params = tome.init(jax.random.PRNGKey(0), x)["params"]
-    grid = jnp.full((1, 2), 2, jnp.int32)
-    with pytest.raises(AssertionError, match="dense path"):
-        tome.apply({"params": params}, x, grid,
-                   method=ZUTIS.forward_padded)
+    x = jnp.asarray(rng.randn(2, 3, 64, 64).astype(np.float32))
+    tome = _tiny(3)
+    params = _tiny(0).init(jax.random.PRNGKey(0), x)["params"]
+    grid = jnp.full((2, 2), 4, jnp.int32)  # native == bucket (4x4 tokens)
+    out_p = tome.apply({"params": params}, x, grid,
+                       method=ZUTIS.forward_padded)
+    out_d = tome.apply({"params": params}, x, inference=True)
+    np.testing.assert_allclose(
+        np.asarray(out_p["mask_proposals"][:, -1]),
+        np.asarray(out_d["mask_proposals"][:, -1]), atol=2e-4)
+
+
+def test_forward_padded_tome_padding_invariance():
+    """Valid outputs must be IDENTICAL regardless of padding pixel content:
+    padding tokens merge with zero weight, their merge targets are
+    constant-scored (not similarity-scored), and every attention masks
+    size-0 keys — so garbage cannot leak into the valid window."""
+    rng = np.random.RandomState(7)
+    native = rng.randn(1, 3, 32, 48).astype(np.float32)  # 2x3 token grid
+    bucket = (64, 64)
+    tome = _tiny(3)
+    params = _tiny(0).init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(rng.randn(1, 3, 64, 64).astype(np.float32)))["params"]
+    grid = jnp.asarray([[2, 3]], jnp.int32)
+
+    outs = []
+    for fill in (0.0, 123.456):
+        padded = np.full((1, 3, *bucket), fill, np.float32)
+        padded[:, :, :32, :48] = native
+        out = tome.apply({"params": params}, jnp.asarray(padded), grid,
+                         method=ZUTIS.forward_padded)
+        h, w = np.asarray(out["native_grid"][0])  # post-upsample window
+        outs.append(np.asarray(out["mask_proposals"])[0, -1, :, :h, :w])
+    np.testing.assert_array_equal(outs[0], outs[1])

@@ -33,6 +33,11 @@ def main() -> None:
                     help="opt-in decoder-memory pooling (models/zutis.py): "
                          "the padded path pools with validity weights + "
                          "log-count bias")
+    ap.add_argument("--tome_r", type=int, default=0,
+                    help="opt-in padding-safe ToMe token merging "
+                         "(ops/tome.py; padding tokens merge with zero "
+                         "weight). 1281 tokens at this bucket; r=90 leaves "
+                         "201 after 12 blocks")
     args = ap.parse_args()
 
     import jax
@@ -51,7 +56,7 @@ def main() -> None:
         width=768, encoder_layers=12, encoder_heads=12, patch_size=16,
         text_dim=512, n_queries=100, n_decoder_layers=6, n_heads=8,
         input_resolution=224, dtype=jnp.bfloat16,
-        decoder_pool=args.decoder_pool,
+        decoder_pool=args.decoder_pool, tome_r=args.tome_r,
     )
     rng = np.random.RandomState(0)
     n_cat = 81  # COCO width

@@ -185,22 +185,35 @@ class CLIPViT(nn.Module):
             tokens = block(tokens)
         return tokens, h_feat, w_feat
 
-    def _run_blocks_tome(self, tokens: jnp.ndarray):
+    def _run_blocks_tome(self, tokens: jnp.ndarray, valid=None):
         """ToMe path: progressively merged blocks; returns (dense tokens
         [b, s0, width] — the merged stream gathered back to every original
-        position, CLS at 0 — ,) so callers see the dense contract."""
+        position, CLS at 0 — ,) so callers see the dense contract.
+
+        With `valid` ([b, s0], the padded batched path), padding tokens
+        start at size 0: they merge with ZERO weight (free removals that
+        the padding-aware scoring in ops/tome.py schedules first), the
+        per-block key mask is simply size > 0, and a valid token landing in
+        a zero-size slot is a lossless relabel — so valid outputs are
+        invariant to padding pixel content (pinned in tests/test_tome.py).
+        valid=None (the dense path) is bitwise the original program."""
         from zutis_tpu.ops.tome import merge_schedule
 
         b, s0, _ = tokens.shape
-        size = jnp.ones((b, s0), jnp.float32)
+        if valid is None:
+            size = jnp.ones((b, s0), jnp.float32)
+        else:
+            size = valid.astype(jnp.float32)
         assign = jnp.broadcast_to(
             jnp.arange(s0, dtype=jnp.int32)[None], (b, s0))
         schedule = merge_schedule(s0, self.tome_r, len(self.blocks))
         for block, r_eff in zip(self.blocks, schedule):
+            kv_mask = None if valid is None else (size > 0)
             if r_eff <= 0:
-                tokens = block(tokens)
+                tokens = block(tokens, kv_mask=kv_mask)
                 continue
-            tokens, size, mapping = block(tokens, tome_r=r_eff, size=size)
+            tokens, size, mapping = block(
+                tokens, kv_mask=kv_mask, tome_r=r_eff, size=size)
             assign = jnp.take_along_axis(mapping, assign, axis=1)
         dense = jnp.take_along_axis(
             tokens, assign[..., None].astype(jnp.int32), axis=1)
@@ -233,11 +246,6 @@ class CLIPViT(nn.Module):
         Returns ([b, hp*wp, width] padded patch tokens — only the per-sample
         [h_i, w_i] top-left window is meaningful — and the [b, hp*wp]
         validity mask)."""
-        assert self.tome_r == 0, (
-            "ToMe token merging supports the fixed-resolution dense path "
-            "only; padded variable-resolution batches would merge padding "
-            "tokens into valid ones"
-        )
         from zutis_tpu.ops.dynamic_shapes import (
             interpolate_pos_embed_batched,
             token_valid_mask,
@@ -262,7 +270,13 @@ class CLIPViT(nn.Module):
             [jnp.ones((b, 1), jnp.int32), patch_valid], axis=1
         )
         tokens = self.ln_pre(tokens)
-        for block in self.blocks:
-            tokens = block(tokens, kv_mask=kv_mask)
+        if self.tome_r > 0:
+            # padding-safe token merging: padding tokens carry size 0
+            # (zero merge weight, masked keys) — see _run_blocks_tome
+            (tokens,) = self._run_blocks_tome(
+                tokens, valid=kv_mask.astype(jnp.float32))
+        else:
+            for block in self.blocks:
+                tokens = block(tokens, kv_mask=kv_mask)
         patch_tokens = self.ln_post(tokens[:, 1:, :])
         return patch_tokens, patch_valid

@@ -105,8 +105,10 @@ class ZUTIS(nn.Module):
     upsample_tokens: bool = True  # ViT / non-dilated RN: x2 token upsample
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
-    # opt-in encoder token merging (ops/tome.py; ViT family, dense path
-    # only) — tokens merged per encoder block; 0 = exact original program
+    # opt-in encoder token merging (ops/tome.py; ViT family) — tokens
+    # merged per encoder block; 0 = exact original program. On the padded
+    # batched path, padding tokens merge with zero weight (free removals),
+    # so valid outputs are invariant to padding content.
     tome_r: int = 0
     # opt-in decoder-memory pooling (dense and padded paths): cross-
     # attention reads a p x p average-pooled memory grid (memory AND sine

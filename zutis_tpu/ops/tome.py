@@ -69,6 +69,16 @@ def tome_merge(
         jnp.linalg.norm(m32, axis=-1, keepdims=True), 1e-6)
     a_m, b_m = m32[:, ::2], m32[:, 1::2]
     scores = jnp.einsum("bad,bnd->ban", a_m, b_m)  # [b, sa, sb]
+    # Padding-aware scoring (models/vit.py forward_padded): size-0 tokens
+    # are padding — merging one is FREE (zero merge weight), so their rows
+    # sort first (+2, above any cosine); a valid token merging into a
+    # zero-size slot is LOSSLESS (the slot adopts its content exactly), so
+    # those pairs rank next (+1.5). Both constants are garbage-independent,
+    # making the schedule invariant to padding pixel content. All-positive
+    # sizes (the dense path) leave every score untouched.
+    pad_a, pad_b = size[:, ::2] <= 0, size[:, 1::2] <= 0
+    scores = jnp.where(pad_a[:, :, None], 2.0, scores)
+    scores = jnp.where((~pad_a)[:, :, None] & pad_b[:, None, :], 1.5, scores)
     scores = scores.at[:, 0, :].set(-jnp.inf)  # CLS never merges
 
     node_max = jnp.max(scores, axis=-1)      # [b, sa]
@@ -94,7 +104,9 @@ def tome_merge(
 
     new_w = jnp.concatenate([unm_w, dst_w], axis=1)
     new_sz = jnp.concatenate([unm_sz, dst_sz], axis=1)
-    x_new = (new_w / new_sz[..., None]).astype(x.dtype)
+    # all-padding slots (size 0) resolve to zero vectors, not 0/0 NaNs;
+    # for positive sizes the clamp is exact (dense path bitwise unchanged)
+    x_new = (new_w / jnp.maximum(new_sz, 1e-6)[..., None]).astype(x.dtype)
 
     # old -> new index mapping (for dense-position assignment composition)
     map_a = jnp.zeros((b, sa), jnp.int32)
@@ -114,5 +126,9 @@ def tome_merge(
 def proportional_attn_bias(size: jnp.ndarray) -> jnp.ndarray:
     """log(size) additive attention bias, [b, 1, 1, s] — a key representing
     n merged patches should attract n patches' worth of softmax mass
-    (exactly recovers dense attention when merged tokens were identical)."""
-    return jnp.log(size)[:, None, None, :].astype(jnp.float32)
+    (exactly recovers dense attention when merged tokens were identical).
+    Size-0 slots (padding on the padded path) are clamped to bias 0 rather
+    than -inf — they are excluded by the kv_mask instead, keeping the bias
+    finite; positive sizes (the dense path) are bitwise unchanged."""
+    return jnp.log(jnp.maximum(size, 1.0))[:, None, None, :].astype(
+        jnp.float32)

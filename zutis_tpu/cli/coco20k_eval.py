@@ -98,7 +98,14 @@ def main(argv=None):
         model = ZUTIS(dtype=dtype, **model_kwargs)
     else:
         model = build_zutis(cfg.clip_arch, dtype=dtype,
-                            encoder_type=cfg.encoder_type)
+                            encoder_type=cfg.encoder_type,
+                            # same opt-in throughput levers as cli/main.py
+                            # (PERF.md round 5); ToMe is padding-safe on the
+                            # batched bucketed path since ops/tome.py grew
+                            # size-0 scheduling
+                            tome_r=int(cfg.extras.get("tome_r", 0)),
+                            decoder_pool=int(
+                                cfg.extras.get("decoder_pool", 1)))
     params = load_params_any(args.p_state_dict)
     text_embeddings = build_text_embeddings(cfg)
 
